@@ -1,0 +1,125 @@
+"""Benchmark: training throughput of the fused train step on one chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: train frame-pairs/sec/chip at the reference recipe (KITTI 256x832,
+batch 8, Adam) — each 3-frame snippet contributes 2 frame pairs (fwd+bwd
+decode), matching how the reference consumes data (train.py:120-152).
+
+vs_baseline: the reference publishes no throughput (BASELINE.md). We use an
+estimated 20 train snippets/sec for the reference PyTorch code on its era GPU
+(PWC-Net-scale model, batch 8 at 256x832; PWC-Net reports ~28 ms/pair
+inference on a Titan X — training with 2 decoder passes + backward is ~4-5x
+that). The BASELINE.json target is >=5x that estimate on one v5e chip.
+
+Flags: --infer benches single-pair inference instead; --fp32 disables bf16;
+--batch/--iters/--hw override the recipe; --no-pallas disables the Pallas
+cost-volume kernel.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REFERENCE_TRAIN_SNIPPETS_PER_SEC = 20.0  # estimated; see module docstring
+
+
+def bench_train(batch, img_hw, iters, compute_dtype, use_pallas):
+    import jax
+    import jax.numpy as jnp
+
+    from unopticalflow_tpu.models import FlowModelConfig, init_flow_model
+    from unopticalflow_tpu.training import create_train_state, make_train_step
+
+    cfg = FlowModelConfig(
+        num_scales=3, compute_dtype=compute_dtype, use_pallas_corr=use_pallas
+    )
+    weights = {
+        "loss_pixel": 0.15,
+        "loss_ssim": 0.85,
+        "loss_flow_smooth": 10.0,
+        "loss_flow_consis": 0.01,
+    }
+    params = init_flow_model(jax.random.PRNGKey(0))
+    state = create_train_state(params, lr=1e-4)
+    step = make_train_step(cfg, weights, lr=1e-4)
+
+    h, w = img_hw
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, 3 * h, w, 3).astype(np.float32))
+
+    # warmup / compile
+    state, metrics = step(state, images)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, images)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    snippets_per_sec = batch * iters / dt
+    return snippets_per_sec, float(metrics["loss_total"])
+
+
+def bench_infer(batch, img_hw, iters, compute_dtype, use_pallas):
+    import jax
+    import jax.numpy as jnp
+
+    from unopticalflow_tpu.models import FlowModelConfig, inference_flow, init_flow_model
+
+    cfg = FlowModelConfig(
+        num_scales=3, compute_dtype=compute_dtype, use_pallas_corr=use_pallas
+    )
+    params = init_flow_model(jax.random.PRNGKey(0))
+    h, w = img_hw
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
+
+    fn = jax.jit(lambda i1, i2: inference_flow(params, cfg, i1, i2))
+    jax.block_until_ready(fn(img1, img2))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(img1, img2)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, 0.0
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--hw", type=int, nargs=2, default=(256, 832))
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--infer", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    compute_dtype = "float32" if args.fp32 else "bfloat16"
+    use_pallas = (not args.no_pallas) and on_tpu
+
+    fn = bench_infer if args.infer else bench_train
+    value, _ = fn(args.batch, tuple(args.hw), args.iters, compute_dtype, use_pallas)
+
+    if args.infer:
+        out = {
+            "metric": "infer frame-pairs/sec/chip (256x832)",
+            "value": round(value, 2),
+            "unit": "pairs/s",
+            "vs_baseline": round(value / 35.0, 2),  # PWC-Net 35 fps on Titan X
+        }
+    else:
+        out = {
+            "metric": "train snippets/sec/chip (KITTI recipe 256x832, batch 8)",
+            "value": round(value, 2),
+            "unit": "snippets/s",
+            "vs_baseline": round(value / REFERENCE_TRAIN_SNIPPETS_PER_SEC, 2),
+        }
+    print(json.dumps(out))

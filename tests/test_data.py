@@ -1,0 +1,130 @@
+"""Data pipeline tests on a synthetic prepared directory (no downloads)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unopticalflow_tpu.data import (
+    KITTI_2015,
+    KITTI_Prepared,
+    SINTEL_Prepared,
+    BatchLoader,
+)
+
+IMG_H, IMG_W = 20, 40  # raw frame size on disk (resized by the dataset)
+
+
+def _write_png(path, arr):
+    import cv2
+
+    cv2.imwrite(path, arr)
+
+
+@pytest.fixture(scope="module")
+def prepared_dir(tmp_path_factory):
+    """Synthetic prepared dir: 5 stacked triplets + calib + train.txt."""
+    root = tmp_path_factory.mktemp("prepared")
+    drive = root / "2011_09_26" / "drive_0001"
+    drive.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(5):
+        stacked = rng.randint(0, 255, (3 * IMG_H, IMG_W, 3), dtype=np.uint8)
+        name = f"{i:010d}.png"
+        _write_png(str(drive / name), stacked)
+        lines.append(f"2011_09_26/drive_0001/{name} 2011_09_26/calib_cam_to_cam.txt\n")
+    (root / "2011_09_26").mkdir(exist_ok=True)
+    with open(root / "2011_09_26" / "calib_cam_to_cam.txt", "w") as f:
+        f.write("P_rect_02: 700.0 0.0 600.0 0.0 0.0 700.0 180.0 0.0 0.0 0.0 1.0 0.0\n")
+    with open(root / "train.txt", "w") as f:
+        f.writelines(lines)
+    return str(root)
+
+
+def test_kitti_prepared_shapes(prepared_dir):
+    ds = KITTI_Prepared(prepared_dir, img_hw=(16, 32), num_iterations=None)
+    assert len(ds) == 5
+    sample = ds[0]
+    assert sample.shape == (3 * 16, 32, 3)
+    assert sample.dtype == np.float32
+    assert 0.0 <= sample.min() and sample.max() <= 1.0
+
+
+def test_idx_seeded_determinism(prepared_dir):
+    """Same idx -> bit-identical sample (kitti_prepared.py:38-42 semantics)."""
+    ds = KITTI_Prepared(prepared_dir, img_hw=(16, 32), num_iterations=100)
+    assert len(ds) == 100
+    a = ds[7]
+    b = ds[7]
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(IndexError):
+        ds[100]
+
+
+def test_intrinsics_pipeline(prepared_dir):
+    ds = KITTI_Prepared(prepared_dir, img_hw=(16, 32), num_iterations=None)
+    K = ds.read_cam_intrinsic(ds.data_list[0]["cam_intrinsic_file"])
+    assert K.shape == (3, 3) and K[0, 0] == 700.0
+    K_scaled = ds.rescale_intrinsics(K.copy(), (IMG_H, IMG_W), (16, 32))
+    assert np.isclose(K_scaled[0, 0], 700.0 * 16 / IMG_H)
+    K_ms, K_inv_ms = ds.get_multiscale_intrinsics(K_scaled, 3)
+    assert K_ms.shape == (3, 3, 3) and K_inv_ms.shape == (3, 3, 3)
+    np.testing.assert_allclose(K_ms[1, 0, 0], K_ms[0, 0, 0] / 2)
+    np.testing.assert_allclose(
+        K_ms[2] @ K_inv_ms[2], np.eye(3), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_batch_loader(prepared_dir):
+    ds = KITTI_Prepared(prepared_dir, img_hw=(16, 32), num_iterations=10)
+    loader = BatchLoader(ds, batch_size=4, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3  # 4 + 4 + 2
+    assert batches[0].shape == (4, 48, 32, 3)
+    assert batches[-1].shape == (2, 48, 32, 3)
+    # deterministic reload
+    batches2 = list(BatchLoader(ds, batch_size=4, num_workers=2))
+    np.testing.assert_array_equal(batches[0], batches2[0])
+
+
+def test_batch_loader_drop_last(prepared_dir):
+    ds = KITTI_Prepared(prepared_dir, img_hw=(16, 32), num_iterations=10)
+    loader = BatchLoader(ds, batch_size=4, num_workers=1, drop_last=True)
+    assert len(list(loader)) == 2
+
+
+def test_sintel_prepared_no_intrinsics(tmp_path):
+    import cv2
+
+    scene = tmp_path / "alley_1"
+    scene.mkdir()
+    rng = np.random.RandomState(1)
+    lines = []
+    for i in range(3):
+        stacked = rng.randint(0, 255, (3 * IMG_H, IMG_W, 3), dtype=np.uint8)
+        cv2.imwrite(str(scene / f"{i:010d}.png"), stacked)
+        lines.append(f"alley_1/{i:010d}.png\n")
+    with open(tmp_path / "train.txt", "w") as f:
+        f.writelines(lines)
+    ds = SINTEL_Prepared(str(tmp_path), img_hw=(16, 32), num_iterations=None)
+    assert ds[1].shape == (48, 32, 3)
+
+
+def test_kitti_2015_eval_dataset(tmp_path):
+    import cv2
+
+    img_dir = tmp_path / "image_2"
+    img_dir.mkdir()
+    rng = np.random.RandomState(2)
+    for i in range(2):
+        for suffix in ("_10", "_11"):
+            cv2.imwrite(
+                str(img_dir / f"{i:06d}{suffix}.png"),
+                rng.randint(0, 255, (IMG_H, IMG_W, 3), dtype=np.uint8),
+            )
+    ds = KITTI_2015(str(tmp_path), img_hw=(16, 32))
+    assert len(ds) == 200  # manifest is synthetic; only first 2 readable
+    pair = ds[1]
+    assert pair.shape == (32, 32, 3)
+    np.testing.assert_array_equal(pair, ds[1])  # no flip at test time

@@ -1,0 +1,145 @@
+"""Unit tests for core ops against torch-CPU oracles.
+
+Each oracle below is an independent torch expression of the documented
+reference semantics (grid_sample defaults, AvgPool2d divisors, interpolate
+half-pixel rule, adaptive pooling) used purely as a numerical ground truth.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from unopticalflow_tpu.ops import (
+    adaptive_avg_pool,
+    avg_pool_pyramid,
+    bilinear_warp,
+    cost_volume_xla,
+    resize_bilinear,
+    ssim,
+    upsample2x_double,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def nchw(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def to_nhwc(t_nchw):
+    return np.transpose(t_nchw.detach().numpy(), (0, 2, 3, 1))
+
+
+def torch_warp(x_nhwc, flow_nhwc, use_mask):
+    """Oracle: mesh-grid + (W-1)-normalized grid_sample, torch-1.2 defaults."""
+    x = nchw(x_nhwc)
+    flow = nchw(flow_nhwc)
+    b, _, h, w = x.shape
+    gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    grid = torch.stack([gx, gy]).float()[None].repeat(b, 1, 1, 1)
+    v = grid + flow
+    v = torch.stack(
+        [2.0 * v[:, 0] / max(w - 1, 1) - 1.0, 2.0 * v[:, 1] / max(h - 1, 1) - 1.0], 1
+    )
+    v = v.permute(0, 2, 3, 1)
+    out = F.grid_sample(x, v, align_corners=True)
+    if use_mask:
+        mask = F.grid_sample(torch.ones_like(x), v, align_corners=True)
+        mask = (mask >= 0.9999).float()
+        out = out * mask
+    return to_nhwc(out)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_warp_matches_grid_sample(use_mask):
+    img = RNG.randn(2, 13, 17, 3).astype(np.float32)
+    flow = (RNG.randn(2, 13, 17, 2) * 4.0).astype(np.float32)
+    got = np.asarray(bilinear_warp(jnp.asarray(img), jnp.asarray(flow), use_mask))
+    want = torch_warp(img, flow, use_mask)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_integer_shift():
+    # shifting a ramp right by 3 px must reproduce values 3 columns over
+    img = np.tile(np.arange(10, dtype=np.float32)[None, None, :, None], (1, 10, 1, 1))
+    flow = np.zeros((1, 10, 10, 2), dtype=np.float32)
+    flow[..., 0] = 3.0
+    out = np.asarray(bilinear_warp(jnp.asarray(img), jnp.asarray(flow), False))
+    np.testing.assert_allclose(out[0, :, :7, 0], img[0, :, 3:, 0])
+    np.testing.assert_allclose(out[0, :, 7:, 0], 0.0)  # zero padding outside
+
+
+def test_cost_volume_matches_torch():
+    f1 = RNG.randn(2, 9, 11, 7).astype(np.float32)
+    f2 = RNG.randn(2, 9, 11, 7).astype(np.float32)
+    d = 3
+    t1, t2 = nchw(f1), nchw(f2)
+    t2p = F.pad(t2, (d, d, d, d))
+    planes = []
+    for i in range(2 * d + 1):
+        for j in range(2 * d + 1):
+            planes.append((t1 * t2p[:, :, i : i + 9, j : j + 11]).mean(1, keepdim=True))
+    want = to_nhwc(torch.cat(planes, 1))
+    got = np.asarray(cost_volume_xla(jnp.asarray(f1), jnp.asarray(f2), md=d))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ssim_matches_torch():
+    x = RNG.rand(2, 12, 16, 3).astype(np.float32)
+    y = RNG.rand(2, 12, 16, 3).astype(np.float32)
+    tx, ty = nchw(x), nchw(y)
+    pool = torch.nn.AvgPool2d(3, 1, padding=1)
+    mx, my = pool(tx), pool(ty)
+    sx = pool(tx**2) - mx**2
+    sy = pool(ty**2) - my**2
+    sxy = pool(tx * ty) - mx * my
+    want = to_nhwc(
+        ((2 * mx * my + 1e-4) * (2 * sxy + 9e-4))
+        / ((mx**2 + my**2 + 1e-4) * (sx + sy + 9e-4))
+    )
+    got = np.asarray(ssim(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("out_hw", [(8, 16), (6, 13), (5, 7)])
+def test_adaptive_avg_pool_matches_torch(out_hw):
+    x = RNG.randn(2, 16, 26, 3).astype(np.float32)
+    want = to_nhwc(F.adaptive_avg_pool2d(nchw(x), out_hw))
+    got = np.asarray(adaptive_avg_pool(jnp.asarray(x), out_hw))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pyramid_shapes_and_values():
+    x = RNG.rand(1, 32, 64, 3).astype(np.float32)
+    pyr = avg_pool_pyramid(jnp.asarray(x), 4)
+    assert [p.shape for p in pyr] == [
+        (1, 32, 64, 3),
+        (1, 16, 32, 3),
+        (1, 8, 16, 3),
+        (1, 4, 8, 3),
+    ]
+    want = to_nhwc(F.adaptive_avg_pool2d(nchw(x), (8, 16)))
+    np.testing.assert_allclose(np.asarray(pyr[2]), want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("out_hw", [(26, 34), (13, 17), (20, 40)])
+def test_resize_matches_interpolate(out_hw):
+    x = RNG.randn(2, 13, 17, 3).astype(np.float32)
+    want = to_nhwc(
+        F.interpolate(nchw(x), size=out_hw, mode="bilinear", align_corners=False)
+    )
+    got = np.asarray(resize_bilinear(jnp.asarray(x), out_hw))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_upsample2x_double():
+    x = RNG.randn(1, 8, 12, 2).astype(np.float32)
+    want = to_nhwc(
+        F.interpolate(nchw(x), scale_factor=2.0, mode="bilinear", align_corners=False)
+        * 2.0
+    )
+    got = np.asarray(upsample2x_double(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

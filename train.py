@@ -1,0 +1,241 @@
+"""Training CLI — argument/YAML surface preserved from the reference.
+
+Usage (same flags as /root/reference/train.py:161-183):
+    python train.py -c config/kitti.yaml --batch_size 8 --lr 1e-4 --mode flow
+
+TPU mapping of the reference semantics:
+* the hot loop (train.py:120-155) is one jitted, buffer-donated train step;
+* ``--multi_gpu`` becomes "shard the batch over all visible devices": batch
+  is multiplied and iterations divided by the device count (train.py:208-213),
+  gradients all-reduce over ICI via shard_map/pmean;
+* checkpoints ``iter_<n>.ckpt`` + rolling ``last.ckpt`` every save_interval,
+  resume restores {iteration, params, opt_state} (train.py:23-46); warm-start
+  from either native .ckpt or reference .pth (train.py:47-61);
+* KITTI 2012/2015 eval interleaved every test_interval (train.py:121-131).
+"""
+
+import argparse
+import os
+import pickle
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from unopticalflow_tpu.utils.config import Config, load_yaml_config, merge_cli_args
+
+
+def build_arg_parser():
+    p = argparse.ArgumentParser(description="tpu-unflow training pipeline.")
+    p.add_argument("-c", "--config_file", default=None, help="config file.")
+    p.add_argument("-g", "--gpu", type=str, default="0",
+                   help="accepted for reference-CLI compatibility (device "
+                        "selection is JAX-managed on TPU).")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--iter_start", type=int, default=0)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--log_interval", type=int, default=100)
+    p.add_argument("--test_interval", type=int, default=2000)
+    p.add_argument("--save_interval", type=int, default=2000)
+    p.add_argument("--mode", type=str, default="flow")
+    p.add_argument("--model_dir", type=str, default=None)
+    p.add_argument("--prepared_save_dir", type=str, default="data_s1")
+    p.add_argument("--flow_pretrained_model", type=str, default=None)
+    p.add_argument("--depth_pretrained_model", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--multi_gpu", action="store_true",
+                   help="data-parallel over all devices (mesh DP).")
+    p.add_argument("--no_test", action="store_true")
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv/corr compute dtype (TPU extension).")
+    p.add_argument("--pallas_corr", action="store_true",
+                   help="use the Pallas cost-volume kernel (TPU extension).")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def train(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from unopticalflow_tpu.data import (
+        BatchLoader,
+        KITTI_Odo,
+        KITTI_Prepared,
+        KITTI_RAW,
+        NYU_Prepare,
+        NYU_v2,
+        SINTEL_Prepared,
+        SINTEL_RAW,
+        device_prefetch,
+    )
+    from unopticalflow_tpu.evaluation import load_gt_flow_kitti, load_gt_mask
+    from unopticalflow_tpu.models import FlowModelConfig, get_model, inference_flow
+    from unopticalflow_tpu.parallel import data_parallel_mesh
+    from unopticalflow_tpu.training import (
+        TrainState,
+        create_train_state,
+        loss_weights_from_config,
+        make_train_step,
+    )
+    from unopticalflow_tpu.utils import checkpoint as ckpt
+    from unopticalflow_tpu.utils.visualizer import Visualizer
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from test import test_kitti_2012, test_kitti_2015
+
+    model_cfg = FlowModelConfig(
+        num_scales=cfg.num_scales,
+        compute_dtype=cfg.get("precision", "float32"),
+        use_pallas_corr=bool(cfg.get("pallas_corr", False)),
+    )
+    init_fn = get_model(cfg.mode)
+    params = init_fn(jax.random.PRNGKey(cfg.get("seed", 0)))
+    state = create_train_state(params, lr=cfg.lr)
+
+    # resume / warm start (reference train.py:42-75)
+    if cfg.resume:
+        name = f"iter_{cfg.iter_start}.ckpt" if cfg.iter_start > 0 else "last.ckpt"
+        it, params, opt_state = ckpt.restore_checkpoint(
+            os.path.join(cfg.model_dir, name), state.params, state.opt_state
+        )
+        cfg.iter_start = it
+        state = TrainState(jnp.asarray(it, jnp.int32), params, opt_state)
+    elif cfg.flow_pretrained_model:
+        _, params = ckpt.load_pretrained(cfg.flow_pretrained_model, state.params)
+        state = create_train_state(params, lr=cfg.lr)
+        print("Load Flow Pretrained Model from " + cfg.flow_pretrained_model)
+
+    loss_weights = loss_weights_from_config(cfg)
+    visualizer = Visualizer(loss_weights, cfg.get("log_dump_dir"))
+
+    # dataset preparation on first run (train.py:81-96)
+    data_dir = os.path.join(cfg.prepared_base_dir, cfg.prepared_save_dir)
+    if not os.path.exists(os.path.join(data_dir, "train.txt")):
+        if cfg.dataset == "kitti_depth":
+            KITTI_RAW(
+                cfg.raw_base_dir, cfg.static_frames_txt, cfg.test_scenes_txt
+            ).prepare_data_mp(data_dir, stride=1)
+        elif cfg.dataset == "sintel_raw":
+            SINTEL_RAW(cfg.raw_base_dir).prepare_data_mp(data_dir, cfg.stride)
+        elif cfg.dataset == "kitti_odo":
+            KITTI_Odo(cfg.raw_base_dir).prepare_data_mp(data_dir, stride=1)
+        elif cfg.dataset == "nyuv2":
+            NYU_Prepare(cfg.raw_base_dir, cfg.nyu_test_dir).prepare_data_mp(
+                data_dir, stride=10
+            )
+        else:
+            raise NotImplementedError(cfg.dataset)
+
+    n_samples = (cfg.num_iterations - cfg.iter_start) * cfg.batch_size
+    if cfg.dataset in ("kitti_depth", "kitti_odo"):
+        dataset = KITTI_Prepared(
+            data_dir, num_scales=cfg.num_scales, img_hw=cfg.img_hw,
+            num_iterations=n_samples,
+        )
+    elif cfg.dataset == "sintel_raw":
+        dataset = SINTEL_Prepared(
+            data_dir, num_scales=cfg.num_scales, img_hw=cfg.img_hw,
+            num_iterations=n_samples,
+        )
+    elif cfg.dataset == "nyuv2":
+        dataset = NYU_v2(
+            data_dir, num_scales=cfg.num_scales, img_hw=cfg.img_hw,
+            num_iterations=n_samples,
+        )
+    else:
+        raise NotImplementedError(cfg.dataset)
+
+    loader = BatchLoader(
+        dataset, batch_size=cfg.batch_size, num_workers=cfg.num_workers,
+        drop_last=False,
+    )
+
+    eval_gts = None
+    if (not cfg.no_test) and cfg.dataset in ("kitti_depth", "kitti_odo", "sintel_raw"):
+        gt_flows_2012, noc_masks_2012 = load_gt_flow_kitti(cfg.gt_2012_dir, "kitti_2012")
+        gt_flows_2015, noc_masks_2015 = load_gt_flow_kitti(cfg.gt_2015_dir, "kitti_2015")
+        gt_masks_2015 = load_gt_mask(cfg.gt_2015_dir)
+        eval_gts = (gt_flows_2012, noc_masks_2012, gt_flows_2015, noc_masks_2015,
+                    gt_masks_2015)
+
+    mesh = None
+    batch_sharding = None
+    if cfg.multi_gpu:
+        mesh = data_parallel_mesh()
+        batch_sharding = NamedSharding(mesh, P("data"))
+        print(f"data-parallel mesh over {mesh.devices.size} devices")
+    step_fn = make_train_step(model_cfg, loss_weights, lr=cfg.lr, mesh=mesh)
+
+    def save(iteration):
+        ckpt.save_checkpoint(
+            os.path.join(cfg.model_dir, f"iter_{iteration}.ckpt"),
+            iteration, state.params, state.opt_state,
+        )
+        ckpt.save_checkpoint(
+            os.path.join(cfg.model_dir, "last.ckpt"),
+            iteration, state.params, state.opt_state,
+        )
+
+    print(f"starting iteration: {cfg.iter_start}.")
+    stream = device_prefetch(iter(loader), sharding=batch_sharding)
+    for iter_, inputs in enumerate(stream):
+        if (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test) and eval_gts:
+            infer = lambda i1, i2: inference_flow(state.params, model_cfg, i1, i2)
+            res_2012 = test_kitti_2012(cfg, infer, eval_gts[0], eval_gts[1])
+            res_2015 = test_kitti_2015(
+                cfg, infer, eval_gts[2], eval_gts[3], eval_gts[4]
+            )
+            visualizer.add_log_pack(
+                {"eval_2012_res": res_2012, "eval_2015_res": res_2015}
+            )
+            visualizer.dump_log(os.path.join(cfg.model_dir, "log.pkl"))
+
+        iter_ = iter_ + cfg.iter_start
+        state, metrics = step_fn(state, inputs)
+        if iter_ % cfg.log_interval == 0:
+            visualizer.print_loss(
+                {k: v for k, v in metrics.items() if k != "loss_total"}, iter_=iter_
+            )
+        if (iter_ + 1) % cfg.save_interval == 0:
+            save(iter_)
+    return state
+
+
+if __name__ == "__main__":
+    args = build_arg_parser().parse_args()
+    if args.config_file is None:
+        raise ValueError("config file needed. -c --config_file.")
+    if not os.path.exists(args.config_file):
+        raise ValueError("config file not found.")
+
+    if args.model_dir is None:
+        args.model_dir = os.path.join(
+            "models", os.path.splitext(os.path.split(args.config_file)[1])[0]
+        )
+    args.model_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), args.model_dir, args.mode
+    )
+    os.makedirs(args.model_dir, exist_ok=True)
+
+    cfg_dict = load_yaml_config(args.config_file)
+    cfg_dict["log_dump_dir"] = os.path.join(args.model_dir, "log.pkl")
+    shutil.copy(args.config_file, args.model_dir)
+    cfg = merge_cli_args(cfg_dict, args)
+
+    # --multi_gpu semantics (train.py:208-213): scale batch, divide iterations
+    if cfg.multi_gpu:
+        import jax
+
+        n_dev = len(jax.devices())
+        cfg.batch_size = cfg.batch_size * n_dev
+        cfg.num_iterations = int(cfg.num_iterations / n_dev)
+
+    with open(os.path.join(args.model_dir, "config.pkl"), "wb") as f:
+        pickle.dump(cfg.to_dict(), f)
+
+    train(cfg)

@@ -1,0 +1,18 @@
+"""Evaluation: flow/depth/odometry metrics and flow-file I/O (host-side numpy)."""
+
+from unopticalflow_tpu.evaluation.evaluate_flow import (
+    eval_flow_avg,
+    load_gt_flow_kitti,
+    get_scaled_intrinsic_matrix,
+)
+from unopticalflow_tpu.evaluation.evaluate_mask import eval_mask, load_gt_mask
+from unopticalflow_tpu.evaluation.evaluate_depth import eval_depth
+
+__all__ = [
+    "eval_flow_avg",
+    "load_gt_flow_kitti",
+    "get_scaled_intrinsic_matrix",
+    "eval_mask",
+    "load_gt_mask",
+    "eval_depth",
+]

@@ -1,0 +1,72 @@
+"""Functional conv blocks and PyTorch-compatible initialization.
+
+Parameters live in plain nested dicts (pytrees) — no module state — so the
+whole model is a pure function ``f(params, x)`` that jit/grad/shard_map
+compose over.  Weight layout is HWIO (TPU-native); the torch-checkpoint
+converter transposes from OIHW (see utils/torch_convert.py).
+
+Initialization matches torch.nn.Conv2d defaults (kaiming_uniform(a=sqrt(5))
+for weights, uniform(+-1/sqrt(fan_in)) for bias — both reduce to
+uniform(+-1/sqrt(fan_in))), which is what the reference trains from
+(net_utils.py:7-14 builds plain Conv2d blocks with default init).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+LEAKY_SLOPE = 0.1  # nn.LeakyReLU(0.1), net_utils.py:11 / pwc_tf.py:21
+
+
+def conv_init(key, in_ch: int, out_ch: int, ksize: int = 3, dtype=jnp.float32):
+    """Initialize one conv's {w: HWIO, b} with torch-default distribution."""
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * ksize * ksize
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(
+        kw, (ksize, ksize, in_ch, out_ch), dtype, minval=-bound, maxval=bound
+    )
+    b = jax.random.uniform(kb, (out_ch,), dtype, minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+def conv_apply(
+    p,
+    x: jax.Array,
+    stride: int = 1,
+    dilation: int = 1,
+    compute_dtype=None,
+) -> jax.Array:
+    """3x3 conv, SAME-style padding = dilation (torch padding=d convention)."""
+    w = p["w"]
+    b = p["b"]
+    if compute_dtype is not None:
+        w = w.astype(compute_dtype)
+        x = x.astype(compute_dtype)
+    pad = dilation * (w.shape[0] // 2)
+    # float32 inputs must not be silently truncated to bf16 by the default
+    # precision; explicit bf16 compute is requested via compute_dtype instead.
+    # For bf16 inputs, the MXU accumulates in fp32 internally; requesting an
+    # f32 preferred_element_type there breaks the conv transpose (VJP) rule.
+    f32_in = x.dtype == jnp.float32
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if f32_in else None,
+        precision=jax.lax.Precision.HIGHEST if f32_in else jax.lax.Precision.DEFAULT,
+    )
+    out = out.astype(x.dtype) + b.astype(x.dtype)
+    return out
+
+
+def conv_block(p, x, stride=1, dilation=1, compute_dtype=None):
+    """conv + LeakyReLU(0.1) — the reference's ``conv`` helper."""
+    out = conv_apply(p, x, stride=stride, dilation=dilation, compute_dtype=compute_dtype)
+    return jax.nn.leaky_relu(out, LEAKY_SLOPE)

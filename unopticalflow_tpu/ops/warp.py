@@ -1,0 +1,126 @@
+"""Differentiable backward warping by an optical-flow field.
+
+Semantics match the reference's ``warp_flow``
+(/root/reference/core/networks/structures/net_utils.py:16-54), which builds a
+pixel mesh grid, adds the flow, normalizes to [-1, 1] with a (W-1)/(H-1)
+denominator and calls ``grid_sample`` with PyTorch-1.2 defaults
+(align_corners=True, padding_mode='zeros').  Un-normalizing, that is exactly:
+sample image at pixel position ``(x + u, y + v)`` with bilinear weights, where
+any of the four integer taps falling outside the image contributes zero.
+
+The optional validity mask reproduces ``grid_sample(ones)`` thresholded at
+0.9999 (net_utils.py:47-52): a pixel is valid iff the total in-bounds bilinear
+weight is >= 0.9999, i.e. the sampling footprint lies fully inside the image.
+
+TPU notes: the 4-tap gather is expressed as ``take_along_axis`` over the
+flattened H*W axis, which XLA lowers to a vectorized dynamic-gather; all
+arithmetic is elementwise VPU work fused by XLA.  Layout is NHWC.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_hw(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+    """Gather img[b, iy[b,h,w], ix[b,h,w], :] -> (B, H, W, C).
+
+    Indices must already be clipped to the valid range.
+
+    Formulation note (v5e, measured in the full jitted train step): the
+    batched ``take_along_axis`` row-gather composes best end-to-end; a flat
+    ``jnp.take`` over (B*H*W, C) is faster standalone but its scatter-add
+    transpose is ~4x slower in-graph.
+    """
+    b, h, w, c = img.shape
+    flat = img.reshape(b, h * w, c)
+    idx = (iy * w + ix).reshape(b, -1, 1)
+    out = jnp.take_along_axis(flat, idx, axis=1)
+    return out.reshape(b, iy.shape[1], iy.shape[2], c)
+
+
+def _corner_weights(img_hw, x, y):
+    """Bilinear corner indices, weights and in-bounds masks at (x, y)."""
+    h, w = img_hw
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    corners = []
+    for yi, xi, wgt in (
+        (y0, x0, (1.0 - dy) * (1.0 - dx)),
+        (y0, x1, (1.0 - dy) * dx),
+        (y1, x0, dy * (1.0 - dx)),
+        (y1, x1, dy * dx),
+    ):
+        inb = (
+            (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        ).astype(wgt.dtype)
+        corners.append((yi, xi, wgt * inb))
+    return corners
+
+
+def bilinear_warp(
+    img: jax.Array, flow: jax.Array, use_mask: bool = False
+) -> jax.Array:
+    """Warp ``img`` (the *target* frame) back to the source frame by ``flow``.
+
+    Args:
+        img:  (B, H, W, C) target image/features.
+        flow: (B, H, W, 2) flow in pixels; channel 0 = x (width) displacement,
+              channel 1 = y (height) displacement — same channel convention as
+              the reference (net_utils.py:29-39).
+        use_mask: multiply the output by the border-validity mask
+              (net_utils.py:47-52).
+
+    Returns:
+        (B, H, W, C) warped image.
+    """
+    b, h, w, _ = img.shape
+    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    x = gx + flow[..., 0]
+    y = gy + flow[..., 1]
+
+    corners = _corner_weights((h, w), x, y)
+    out = 0.0
+    total_w = 0.0
+    for yi, xi, wgt in corners:
+        yi_c = jnp.clip(yi, 0, h - 1)
+        xi_c = jnp.clip(xi, 0, w - 1)
+        out = out + _gather_hw(img, yi_c, xi_c) * wgt[..., None]
+        total_w = total_w + wgt
+
+    if use_mask:
+        mask = (total_w >= 0.9999).astype(img.dtype)[..., None]
+        out = out * mask
+    return out
+
+
+def warp_validity_mask(flow: jax.Array, img_hw) -> jax.Array:
+    """Standalone validity mask: 1 where the warp footprint is in-bounds.
+
+    Equals ``grid_sample(ones)`` thresholded at 0.9999 (net_utils.py:47-52).
+
+    Args:
+        flow: (B, H, W, 2) flow in pixels.
+        img_hw: (H, W) of the image being sampled.
+
+    Returns:
+        (B, H, W, 1) float mask.
+    """
+    h, w = img_hw
+    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    x = gx + flow[..., 0]
+    y = gy + flow[..., 1]
+    total_w = 0.0
+    for _, _, wgt in _corner_weights((h, w), x, y):
+        total_w = total_w + wgt
+    return (total_w >= 0.9999).astype(flow.dtype)[..., None]

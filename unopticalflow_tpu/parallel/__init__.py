@@ -1,0 +1,9 @@
+"""Device-mesh construction and sharding helpers."""
+
+from unopticalflow_tpu.parallel.mesh import (
+    data_parallel_mesh,
+    shard_batch,
+    replicate,
+)
+
+__all__ = ["data_parallel_mesh", "shard_batch", "replicate"]

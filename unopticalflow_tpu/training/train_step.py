@@ -1,0 +1,125 @@
+"""The fused training step: forward + loss weighting + backward + Adam.
+
+The reference's hot loop (/root/reference/train.py:120-155) — model forward
+returning per-sample losses, config-weighted sum, ``loss.backward()``,
+``optimizer.step()`` — compiles here into a *single* donated XLA program, so
+parameters, optimizer state and activations never round-trip to the host.
+
+Data parallelism: ``make_train_step(mesh=...)`` wraps the step in
+``shard_map`` over a 1-D ``data`` mesh axis — the batch is split across
+devices and gradients are reduced with ``jax.lax.pmean`` (an XLA all-reduce
+that rides ICI), replacing the reference's single-host
+``torch.nn.DataParallel`` replicate/scatter/gather (train.py:36).
+
+Loss weighting matches ``generate_loss_weights_dict``
+(/root/reference/core/config/config_utils.py:3-9):
+pixel = 1 - w_ssim, ssim = w_ssim, smooth = w_flow_smooth,
+consis = w_flow_consis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unopticalflow_tpu.models.flow_model import FlowModelConfig, forward
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def loss_weights_from_config(cfg) -> dict[str, float]:
+    """Config -> loss-weight table (config_utils.py:3-9)."""
+    w_ssim = float(getattr(cfg, "w_ssim", 0.85))
+    return {
+        "loss_pixel": 1.0 - w_ssim,
+        "loss_ssim": w_ssim,
+        "loss_flow_smooth": float(getattr(cfg, "w_flow_smooth", 10.0)),
+        "loss_flow_consis": float(getattr(cfg, "w_flow_consis", 0.01)),
+    }
+
+
+def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+    """Adam with torch-default hyperparameters (train.py:39)."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def create_train_state(params, lr: float = 1e-4) -> TrainState:
+    opt = make_optimizer(lr)
+    return TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+
+
+def _loss_fn(params, model_cfg: FlowModelConfig, weights, images):
+    pack = forward(params, model_cfg, images)
+    total = sum(weights[k] * jnp.mean(v) for k, v in pack.items())
+    return total, {k: jnp.mean(v) for k, v in pack.items()}
+
+
+def make_train_step(
+    model_cfg: FlowModelConfig,
+    weights: dict[str, float],
+    lr: float = 1e-4,
+    mesh: Mesh | None = None,
+):
+    """Build the jitted train step.
+
+    Returns ``step_fn(state, images) -> (state, metrics)``; ``images`` is the
+    *global* (B, 3H, W, 3) batch.  With a mesh, the batch axis is sharded over
+    the ``data`` axis and gradients are pmean-reduced; B must divide evenly.
+    """
+    opt = make_optimizer(lr)
+
+    def step_body(state: TrainState, images: jax.Array):
+        (loss, pack), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            state.params, model_cfg, weights, images
+        )
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, axis_name="data")
+            loss = jax.lax.pmean(loss, axis_name="data")
+            pack = jax.lax.pmean(pack, axis_name="data")
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        metrics = dict(pack, loss_total=loss)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_body, donate_argnums=(0,))
+
+    from jax.experimental.shard_map import shard_map
+
+    repl = P()
+    sharded = shard_map(
+        step_body,
+        mesh=mesh,
+        in_specs=(repl, P("data")),
+        out_specs=(repl, repl),
+        check_rep=False,
+    )
+    state_sh = NamedSharding(mesh, repl)
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    step = jax.jit(
+        sharded,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,),
+    )
+
+    @functools.wraps(step)
+    def step_fn(state, images):
+        assert images.shape[0] % mesh.devices.size == 0, (
+            f"global batch {images.shape[0]} must divide the {mesh.devices.size}-"
+            "device data mesh"
+        )
+        return step(state, images)
+
+    return step_fn
