@@ -62,9 +62,11 @@ def main():
         "loss_flow_consis": 0.01,
     }
     h, w = args.hw
+    dt = "float32" if args.fp32 else "bfloat16"
     cfg = FlowModelConfig(
         num_scales=3,
-        compute_dtype="float32" if args.fp32 else "bfloat16",
+        compute_dtype=dt,
+        loss_dtype=dt,
         use_pallas_corr=args.pallas,
     )
     rng = np.random.RandomState(0)

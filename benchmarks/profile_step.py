@@ -42,7 +42,8 @@ def main():
     setups = {}
     for name, pallas in (("xla-corr", False), ("pallas-corr", True)):
         cfg = FlowModelConfig(
-            num_scales=3, compute_dtype=dtype, use_pallas_corr=pallas
+            num_scales=3, compute_dtype=dtype, loss_dtype=dtype,
+            use_pallas_corr=pallas,
         )
         params = init_flow_model(jax.random.PRNGKey(0))
         state = create_train_state(params, 1e-4)

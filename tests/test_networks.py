@@ -148,3 +148,18 @@ def test_registry():
     assert get_model("flow") is init_flow_model
     with pytest.raises(ValueError):
         get_model("depth")
+
+
+def test_deconv_matches_torch():
+    from unopticalflow_tpu.models.layers import deconv_apply, deconv_init
+
+    p = deconv_init(jax.random.PRNGKey(3), 8, 4)
+    x = RNG.rand(2, 6, 10, 8).astype(np.float32)
+    out = deconv_apply(p, jnp.asarray(x))
+    w_t = torch.from_numpy(np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)).copy())
+    want = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), w_t,
+        torch.from_numpy(np.asarray(p["b"])), stride=2, padding=1,
+    ).numpy().transpose(0, 2, 3, 1)
+    assert out.shape == want.shape
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)

@@ -54,8 +54,9 @@ def torch_warp(x_nhwc, flow_nhwc, use_mask):
 
 
 @pytest.mark.parametrize("use_mask", [False, True])
-def test_warp_matches_grid_sample(use_mask):
-    img = RNG.randn(2, 13, 17, 3).astype(np.float32)
+@pytest.mark.parametrize("channels", [3, 32])  # image-like and feature-like
+def test_warp_matches_grid_sample(use_mask, channels):
+    img = RNG.randn(2, 13, 17, channels).astype(np.float32)
     flow = (RNG.randn(2, 13, 17, 2) * 4.0).astype(np.float32)
     got = np.asarray(bilinear_warp(jnp.asarray(img), jnp.asarray(flow), use_mask))
     want = torch_warp(img, flow, use_mask)

@@ -36,12 +36,19 @@ class FlowModelConfig(NamedTuple):
     num_scales: int = 3
     # compute dtype for conv/corr work; params and losses stay float32.
     compute_dtype: str = "float32"
+    # dtype for the image-space loss stack (pyramids, warps, diffs, SSIM);
+    # per-sample loss reductions always accumulate in float32.
+    loss_dtype: str = "float32"
     # route cost volumes through the Pallas TPU kernel
     use_pallas_corr: bool = False
 
     @property
     def cdtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def ldtype(self):
+        return jnp.dtype(self.loss_dtype)
 
 
 def init_flow_model(key, dtype=jnp.float32):
@@ -106,9 +113,10 @@ def forward(params, cfg: FlowModelConfig, images):
     flows_fwd = [f.astype(jnp.float32) for f in flows_fwd]
 
     num_levels = len(flows_fwd)
-    pyr_l = avg_pool_pyramid(imgl, num_levels)
-    pyr_c = avg_pool_pyramid(img, num_levels)
-    pyr_r = avg_pool_pyramid(imgr, num_levels)
+    ld = cfg.ldtype
+    pyr_l = avg_pool_pyramid(imgl.astype(ld), num_levels)
+    pyr_c = avg_pool_pyramid(img.astype(ld), num_levels)
+    pyr_r = avg_pool_pyramid(imgr.astype(ld), num_levels)
 
     warped_from_l = [
         bilinear_warp(i, f, use_mask=True) for i, f in zip(pyr_l, flows_bwd)

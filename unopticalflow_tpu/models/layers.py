@@ -70,3 +70,34 @@ def conv_block(p, x, stride=1, dilation=1, compute_dtype=None):
     """conv + LeakyReLU(0.1) — the reference's ``conv`` helper."""
     out = conv_apply(p, x, stride=stride, dilation=dilation, compute_dtype=compute_dtype)
     return jax.nn.leaky_relu(out, LEAKY_SLOPE)
+
+
+def deconv_init(key, in_ch: int, out_ch: int, ksize: int = 4, dtype=jnp.float32):
+    """Transposed-conv params (the reference defines ``deconv`` at
+    net_utils.py:13-14; unused by its live path, kept for API parity)."""
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * ksize * ksize
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(
+        kw, (ksize, ksize, out_ch, in_ch), dtype, minval=-bound, maxval=bound
+    )
+    b = jax.random.uniform(kb, (out_ch,), dtype, minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+def deconv_apply(p, x: jax.Array, stride: int = 2, padding: int = 1) -> jax.Array:
+    """ConvTranspose2d(k=4, s=2, p=1)-equivalent upsampling conv (NHWC)."""
+    w = p["w"]
+    k = w.shape[0]
+    # kernel stored (k, k, out, in); with transpose_kernel=True and HWIO
+    # dimension numbers this reproduces torch ConvTranspose2d exactly, with
+    # jax padding = k - 1 - torch_padding
+    out = jax.lax.conv_transpose(
+        x,
+        w,
+        strides=(stride, stride),
+        padding=((k - 1 - padding, k - 1 - padding),) * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+    )
+    return out + p["b"].astype(out.dtype)

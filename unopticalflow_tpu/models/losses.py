@@ -28,8 +28,12 @@ _EPS_DIV = 1e-12
 
 
 def _mean_bhwc(x: jax.Array) -> jax.Array:
-    """Mean over all but the batch axis -> (B,)."""
-    return jnp.mean(x, axis=(1, 2, 3))
+    """Mean over all but the batch axis -> (B,), accumulated in float32.
+
+    The fp32 accumulator keeps the per-sample losses exact even when the
+    image-space loss stack runs in bfloat16 (FlowModelConfig.loss_dtype).
+    """
+    return jnp.mean(x, axis=(1, 2, 3), dtype=jnp.float32)
 
 
 def flow_normalization(flow: jax.Array) -> jax.Array:

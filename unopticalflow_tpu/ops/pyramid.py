@@ -62,10 +62,20 @@ def avg_pool_pyramid(img: jax.Array, num_levels: int) -> list[jax.Array]:
     Matches model_flow_paper.py:54-60 including the stop-gradient at scale 0
     (the reference takes ``.data`` of every level, so the photometric losses
     never backprop into the images — they only flow through the warps).
+
+    When every level halves evenly, each level is pooled from the previous one
+    (a 2x2 mean of 2x2 means equals the 4x4 mean exactly), reading 1/4 the
+    data per level instead of re-pooling the full-resolution image.
     """
     _, h, w, _ = img.shape
-    out = []
-    for s in range(num_levels):
-        lvl = adaptive_avg_pool(img, (int(h / (2**s)), int(w / (2**s))))
+    sizes = [(int(h / (2**s)), int(w / (2**s))) for s in range(num_levels)]
+    chain = all(
+        (ph == 2 * ch and pw == 2 * cw)
+        for (ph, pw), (ch, cw) in zip(sizes[:-1], sizes[1:])
+    )
+    out = [jax.lax.stop_gradient(img)]
+    for s in range(1, num_levels):
+        src = out[-1] if chain else img
+        lvl = adaptive_avg_pool(src, sizes[s])
         out.append(jax.lax.stop_gradient(lvl))
     return out

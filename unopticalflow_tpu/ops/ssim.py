@@ -17,22 +17,40 @@ _C2 = 0.03**2
 
 
 def _avg_pool3(x: jax.Array) -> jax.Array:
-    """3x3 stride-1 average pool, zero padding, divisor fixed at 9 (NHWC)."""
+    """3x3 stride-1 average pool, zero padding, divisor fixed at 9 (NHWC).
+
+    Computed on a lane-packed (B, H, W*C) view with a channel-dilated window:
+    window elements at lane offsets {0, C, 2C} are exactly the three
+    neighboring columns of one channel, and the C zero-pad lanes act as the
+    zero image border.  This keeps all 128 lanes busy for small C (an NHWC
+    C=3 pool pads its lane dim 42x otherwise).
+    """
+    b, h, w, c = x.shape
+    packed = x.reshape(b, h, w * c)
     # init must be the literal 0.0 so JAX pattern-matches the differentiable
     # reduce_window_sum monoid (an Array init kills reverse-mode autodiff)
     s = jax.lax.reduce_window(
-        x,
+        packed,
         0.0,
         jax.lax.add,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        window_dimensions=(1, 3, 3),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), (c, c)),
+        window_dilation=(1, 1, c),
     )
-    return s * jnp.asarray(1.0 / 9.0, x.dtype)
+    return s.reshape(b, h, w, c) * jnp.asarray(1.0 / 9.0, x.dtype)
 
 
 def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Per-pixel SSIM map of two NHWC images, PyTorch-AvgPool parity."""
+    """Per-pixel SSIM map of two NHWC images, PyTorch-AvgPool parity.
+
+    Always computed in float32: the sigma terms are differences of products
+    (pool(x^2) - mu^2) whose cancellation loses most bits in bfloat16.  A
+    bf16 input is converted inside the fused pool read, so the HBM-side
+    traffic still benefits from the half-width inputs.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     mu_x = _avg_pool3(x)
     mu_y = _avg_pool3(y)
     sigma_x = _avg_pool3(x * x) - mu_x * mu_x

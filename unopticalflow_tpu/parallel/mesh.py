@@ -19,6 +19,17 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multi_host(**kwargs) -> None:
+    """Multi-host setup: call before any device use on every host.
+
+    Thin wrapper over ``jax.distributed.initialize`` (coordinator address,
+    process counts etc. flow through kwargs or cloud auto-detection); after
+    it, ``jax.devices()`` spans all hosts and the data mesh below rides
+    ICI within a slice and DCN across hosts.
+    """
+    jax.distributed.initialize(**kwargs)
+
+
 def data_parallel_mesh(num_devices: int | None = None) -> Mesh:
     """1-D ``data`` mesh over the first ``num_devices`` devices (default all)."""
     devices = jax.devices()
