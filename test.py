@@ -93,7 +93,8 @@ def build_arg_parser():
     p.add_argument("--result_dir", type=str, default=None)
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--pallas_corr", action="store_true")
+    p.add_argument("--pallas_corr", type=str, default="auto",
+                   choices=["auto", "on", "off"])
     return p
 
 
@@ -118,10 +119,14 @@ if __name__ == "__main__":
             "NameError) — only --mode flow is supported."
         )
 
+    if args.pallas_corr == "auto":
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    else:
+        use_pallas = args.pallas_corr == "on"
     model_cfg = FlowModelConfig(
         num_scales=cfg.num_scales,
         compute_dtype=args.precision,
-        use_pallas_corr=args.pallas_corr,
+        use_pallas_corr=use_pallas,
     )
     params = get_model("flow")(jax.random.PRNGKey(0))
     if args.pretrained_model:

@@ -1,0 +1,57 @@
+"""Pallas cost-volume kernel tests (interpreter mode, runs on CPU).
+
+Real-TPU numerical validation of the same kernels is part of the benchmark
+workflow; here the Mosaic interpreter checks the kernel logic (halo
+assembly, displacement ordering, reversed-shift backward) against the XLA
+reference implementation.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from unopticalflow_tpu.ops.cost_volume import cost_volume_xla
+from unopticalflow_tpu.ops.pallas_kernels import cost_volume_pallas
+
+RNG = np.random.RandomState(0)
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 24, 8), (1, 8, 13, 5)])
+def test_pallas_corr_fwd_interpret(shape):
+    b, h, w, c = shape
+    f1 = jnp.asarray(RNG.rand(b, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(RNG.rand(b, h, w, c).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = cost_volume_pallas(f1, f2, 4)
+    want = cost_volume_xla(f1, f2, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_corr_grads_interpret():
+    b, h, w, c = 1, 16, 12, 6
+    f1 = jnp.asarray(RNG.rand(b, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(RNG.rand(b, h, w, c).astype(np.float32))
+
+    def loss_p(x, y):
+        return jnp.sum(jnp.sin(cost_volume_pallas(x, y, 4)))
+
+    def loss_x(x, y):
+        return jnp.sum(jnp.sin(cost_volume_xla(x, y, 4)))
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1))(f1, f2)
+    gx = jax.grad(loss_x, argnums=(0, 1))(f1, f2)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), rtol=1e-4, atol=1e-5)
+
+
+def test_small_levels_fall_back_to_xla():
+    # h=4 < 2*md: must route to the XLA path transparently
+    f1 = jnp.asarray(RNG.rand(1, 4, 13, 7).astype(np.float32))
+    f2 = jnp.asarray(RNG.rand(1, 4, 13, 7).astype(np.float32))
+    got = cost_volume_pallas(f1, f2, 4)
+    want = cost_volume_xla(f1, f2, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)

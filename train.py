@@ -52,8 +52,10 @@ def build_arg_parser():
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv/corr compute dtype (TPU extension).")
-    p.add_argument("--pallas_corr", action="store_true",
-                   help="use the Pallas cost-volume kernel (TPU extension).")
+    p.add_argument("--pallas_corr", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas cost-volume kernels: auto = on for TPU "
+                        "platforms, off elsewhere.")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -88,10 +90,15 @@ def train(cfg):
 
     from test import test_kitti_2012, test_kitti_2015
 
+    pallas_mode = cfg.get("pallas_corr", "auto")
+    if pallas_mode == "auto":
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    else:
+        use_pallas = pallas_mode == "on"
     model_cfg = FlowModelConfig(
         num_scales=cfg.num_scales,
         compute_dtype=cfg.get("precision", "float32"),
-        use_pallas_corr=bool(cfg.get("pallas_corr", False)),
+        use_pallas_corr=use_pallas,
     )
     init_fn = get_model(cfg.mode)
     params = init_fn(jax.random.PRNGKey(cfg.get("seed", 0)))

@@ -1,22 +1,28 @@
 """Pallas TPU kernels for the bandwidth-bound hot ops.
 
-Cost volume: the XLA formulation re-reads both feature maps from HBM for each
-of the 81 displacements (pwc_tf.py:97-106 semantics).  This kernel streams
-each input tile through VMEM a constant number of times and accumulates all
-81 displacement planes on-chip — O(HWC) HBM traffic instead of O(81·HWC).
+Cost-volume family.  The XLA formulation re-reads both feature maps from HBM
+for each of the 81 displacements (pwc_tf.py:97-106 semantics); these kernels
+stream each tile through VMEM a constant number of times and keep all 81
+displacement planes on-chip.
 
-Halo handling: displacement ±md needs md extra rows above/below each H-tile.
-Overlapping windows are not expressible as one BlockSpec, so the padded
-target map is passed twice with block indices (i, i+1); with tile height
-TH >= 2·md the two consecutive row-blocks cover the whole (TH + 2·md) window,
-which the kernel assembles by concatenation (a cheap major-dim op).  W shifts
-are sublane slices, the channel (lane) dim is never sliced — all layouts stay
-Mosaic-friendly.  Products are computed in fp32 on the VPU regardless of
-input dtype.
+Layout: operands are NCHW (B, C, H, W) — W rides the 128 lanes (well filled
+at every pyramid level), C rides the un-padded major dim, so small channel
+counts don't burn 42x lane padding the way NHWC C-minor tensors do.  The
+public wrapper accepts/returns NHWC and inserts the transposes.
 
-The backward pass is registered as a custom VJP with shifted-accumulation XLA
-formulas (same O(81) structure as the forward); autodiff through the kernel
-itself is not supported.
+Halo handling: displacement +-md needs md extra rows; overlapping windows are
+not expressible as one BlockSpec, so the H-padded operand is passed twice
+with block indices (i, i+1) — with tile height TH >= 2 md the two consecutive
+row-blocks cover every (TH + 2 md) window (assembled by sublane slicing).
+W shifts are (unaligned) lane slices of the 2 md-wider block.
+
+Backward: registered as a custom VJP built from two sibling kernels with the
+same window machinery —
+    fwd:  cv[p, k]  = 1/C * sum_c f1[p, c] * f2p[p + s_k, c]
+    df1:  df1[p, c] = 1/C * sum_k g[p, k] * f2p[p + s_k, c]
+    df2:  df2[q, c] = 1/C * sum_k gp[q + s'_k, rev(k)] * f1p[q + s'_k, c]
+with s_k = (dy, dx) in [0, 2md]^2 and s'_k = (2md - dy, 2md - dx) (operands
+padded by md).  Accumulation is fp32 in VMEM scratch.
 """
 
 from __future__ import annotations
@@ -29,95 +35,112 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _corr_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, md: int, tile_h: int):
-    w = out_ref.shape[3]
-    side = 2 * md + 1
+def _rows(a_ref, b_ref, dy: int, tile_h: int, axis: int):
+    """Rows [dy, dy+TH) of the halo window from two consecutive row-blocks."""
+    if dy == 0:
+        return a_ref[0]
+    a = a_ref[0]
+    b = b_ref[0]
+    if dy == tile_h:
+        return b
+    sl_a = [slice(None)] * a.ndim
+    sl_a[axis] = slice(dy, None)
+    sl_b = [slice(None)] * b.ndim
+    sl_b[axis] = slice(0, dy)
+    return jnp.concatenate([a[tuple(sl_a)], b[tuple(sl_b)]], axis=axis)
 
-    f1 = f1_ref[0].astype(jnp.float32)  # (TH, W, C)
-    inv_c = 1.0 / f1.shape[-1]
+
+def _corr_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, md, tile_h, w):
+    side = 2 * md + 1
+    f1 = f1_ref[0].astype(jnp.float32)  # (C, TH, W)
+    inv_c = 1.0 / f1.shape[0]
     for dy in range(side):
-        # rows [dy, dy+TH) of the halo window, assembled from the two
-        # consecutive row-blocks (major-dim concat: cheap)
-        if dy == 0:
-            rows = f2a_ref[0]
-        elif dy == tile_h:  # window exactly the second block (tile_h == 2*md)
-            rows = f2b_ref[0]
-        else:
-            rows = jnp.concatenate(
-                [f2a_ref[0, dy:, :, :], f2b_ref[0, :dy, :, :]], axis=0
-            )
+        win = _rows(f2a_ref, f2b_ref, dy, tile_h, axis=1)  # (C, TH, W+2md)
         for dx in range(side):
-            f2s = jax.lax.slice(
-                rows, (0, dx, 0), (tile_h, dx + w, rows.shape[-1])
-            ).astype(jnp.float32)
-            plane = jnp.sum(f1 * f2s, axis=-1) * inv_c  # (TH, W)
-            out_ref[0, dy * side + dx] = plane.astype(out_ref.dtype)
+            f2s = win[:, :, dx : dx + w].astype(jnp.float32)
+            out_ref[0, dy * side + dx] = (
+                jnp.sum(f1 * f2s, axis=0) * inv_c
+            ).astype(out_ref.dtype)
+
+
+def _corr_df1_kernel(g_ref, f2a_ref, f2b_ref, out_ref, acc, *, md, tile_h, w):
+    side = 2 * md + 1
+    inv_c = 1.0 / out_ref.shape[1]
+    acc[...] = jnp.zeros_like(acc)
+    for dy in range(side):
+        win = _rows(f2a_ref, f2b_ref, dy, tile_h, axis=1)
+        for dx in range(side):
+            gk = g_ref[0, dy * side + dx].astype(jnp.float32)  # (TH, W)
+            f2s = win[:, :, dx : dx + w].astype(jnp.float32)  # (C, TH, W)
+            acc[...] += gk[None] * f2s
+    out_ref[0] = (acc[...] * inv_c).astype(out_ref.dtype)
+
+
+def _corr_df2_kernel(ga_ref, gb_ref, f1a_ref, f1b_ref, out_ref, acc, *, md, tile_h, w):
+    side = 2 * md + 1
+    inv_c = 1.0 / out_ref.shape[1]
+    acc[...] = jnp.zeros_like(acc)
+    for dyp in range(side):
+        gwin = _rows(ga_ref, gb_ref, dyp, tile_h, axis=1)  # (81, TH, W+2md)
+        fwin = _rows(f1a_ref, f1b_ref, dyp, tile_h, axis=1)  # (C, TH, W+2md)
+        for dxp in range(side):
+            k = (2 * md - dyp) * side + (2 * md - dxp)  # rev(k)
+            gk = gwin[k, :, dxp : dxp + w].astype(jnp.float32)  # (TH, W)
+            f1s = fwin[:, :, dxp : dxp + w].astype(jnp.float32)  # (C, TH, W)
+            acc[...] += gk[None] * f1s
+    out_ref[0] = (acc[...] * inv_c).astype(out_ref.dtype)
 
 
 def _pick_tile_h(h: int, w: int, c: int, md: int) -> int:
-    """Largest tile height whose VMEM footprint (with double buffering and
-    lane padding) stays under budget."""
+    """Largest tile height under a VMEM budget (with double buffering)."""
 
     def roundup(x, m):
         return -(-x // m) * m
 
     nd = (2 * md + 1) ** 2
-    budget = 8 * 1024 * 1024  # half of VMEM, leaving room for the pipeline
-    cp = roundup(c, 128)  # channel (lane) padding
-    wp = roundup(w, 128)
+    budget = 8 * 1024 * 1024
+    wp = roundup(w + 2 * md, 128)
     for th in (32, 16, 8):
         if h % th or th < 2 * md:
             continue
-        tile_bytes = 4 * (
-            th * w * cp  # f1 block
-            + 2 * th * (w + 2 * md) * cp  # two f2 halo blocks
-            + nd * th * wp  # output block
-        )
-        if 2 * tile_bytes <= budget:  # x2: Pallas double-buffers blocks
+        tile_bytes = 4 * th * wp * (3 * c + nd)  # operands + output + scratch
+        if 2 * tile_bytes <= budget:
             return th
-    return 8 if (h % 8 == 0 and 8 >= 2 * md) else h
+    return 8
 
 
-def _cost_volume_fwd_pallas(f1: jax.Array, f2: jax.Array, md: int) -> jax.Array:
-    from unopticalflow_tpu.ops.cost_volume import cost_volume_xla
-
-    bsz, h, w, c = f1.shape
-    side = 2 * md + 1
-    nd = side * side
-    tile_h = _pick_tile_h(h, w, c, md)
-    if tile_h < 2 * md or h % tile_h:
-        # coarse pyramid levels (h < 8): negligible work, XLA handles them
-        return cost_volume_xla(f1, f2, md)
-
-    n_tiles = h // tile_h
-    # rows: corr padding (md) + tail padding so blocks (i, i+1) always exist
+def _halo_pad(x_nchw, md: int, tile_h: int, n_tiles: int):
+    """Pad H by md (+ tail so block i+1 always exists) and W by md."""
+    h = x_nchw.shape[2]
     rows = (n_tiles + 1) * tile_h
-    f2q = jnp.pad(
-        f2, ((0, 0), (md, rows - h - md), (md, md), (0, 0))
+    return jnp.pad(
+        x_nchw, ((0, 0), (0, 0), (md, rows - h - md), (md, md))
     )
 
-    f2_spec = lambda off: pl.BlockSpec(
-        (1, tile_h, w + 2 * md, c),
-        (lambda b, i: (b, i + off, 0, 0)),
+
+def _block(ch, tile_h, w, off):
+    return pl.BlockSpec(
+        (1, ch, tile_h, w),
+        lambda b, i, off=off: (b, 0, i + off, 0),
         memory_space=pltpu.VMEM,
     )
-    out = pl.pallas_call(
-        functools.partial(_corr_kernel, md=md, tile_h=tile_h),
+
+
+def _corr_fwd_nchw(f1, f2, md):
+    bsz, c, h, w = f1.shape
+    nd = (2 * md + 1) ** 2
+    tile_h = _pick_tile_h(h, w, c, md)
+    n_tiles = h // tile_h
+    f2q = _halo_pad(f2, md, tile_h, n_tiles)
+    return pl.pallas_call(
+        functools.partial(_corr_fwd_kernel, md=md, tile_h=tile_h, w=w),
         grid=(bsz, n_tiles),
         in_specs=[
-            pl.BlockSpec(
-                (1, tile_h, w, c),
-                lambda b, i: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            f2_spec(0),
-            f2_spec(1),
+            _block(c, tile_h, w, 0),
+            _block(c, tile_h, w + 2 * md, 0),
+            _block(c, tile_h, w + 2 * md, 1),
         ],
-        out_specs=pl.BlockSpec(
-            (1, nd, tile_h, w),
-            lambda b, i: (b, 0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=_block(nd, tile_h, w, 0),
         out_shape=jax.ShapeDtypeStruct((bsz, nd, h, w), f1.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * w * c * nd,
@@ -125,44 +148,87 @@ def _cost_volume_fwd_pallas(f1: jax.Array, f2: jax.Array, md: int) -> jax.Array:
             transcendentals=0,
         ),
     )(f1, f2q, f2q)
-    # kernel emits displacement-major (B, 81, H, W); callers want NHWC
-    return jnp.transpose(out, (0, 2, 3, 1))
 
 
-def _cost_volume_bwd_xla(md: int, res, g):
-    """Shifted-accumulation backward (O(81) static shifts, XLA-fused)."""
-    f1, f2 = res
-    bsz, h, w, c = f1.shape
-    side = 2 * md + 1
-    inv_c = jnp.asarray(1.0 / c, jnp.float32)
-    g = g.astype(jnp.float32)
-    f1f = f1.astype(jnp.float32)
-    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0))).astype(jnp.float32)
+def _corr_df1_nchw(g, f2, md):
+    bsz, c, h, w = f2.shape
+    nd = (2 * md + 1) ** 2
+    tile_h = _pick_tile_h(h, w, c, md)
+    n_tiles = h // tile_h
+    f2q = _halo_pad(f2, md, tile_h, n_tiles)
+    return pl.pallas_call(
+        functools.partial(_corr_df1_kernel, md=md, tile_h=tile_h, w=w),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            _block(nd, tile_h, w, 0),
+            _block(c, tile_h, w + 2 * md, 0),
+            _block(c, tile_h, w + 2 * md, 1),
+        ],
+        out_specs=_block(c, tile_h, w, 0),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, h, w), f2.dtype),
+        scratch_shapes=[pltpu.VMEM((c, tile_h, w), jnp.float32)],
+    )(g, f2q, f2q)
 
-    df1 = jnp.zeros_like(f1f)
-    df2p = jnp.zeros_like(f2p)
-    for dy in range(side):
-        for dx in range(side):
-            k = dy * side + dx
-            gk = g[..., k : k + 1]
-            f2s = jax.lax.slice(f2p, (0, dy, dx, 0), (bsz, dy + h, dx + w, c))
-            df1 = df1 + gk * f2s
-            df2p = df2p.at[:, dy : dy + h, dx : dx + w, :].add(gk * f1f)
-    df2 = df2p[:, md : md + h, md : md + w, :]
-    return (
-        (df1 * inv_c).astype(f1.dtype),
-        (df2 * inv_c).astype(f2.dtype),
-    )
+
+def _corr_df2_nchw(g, f1, md):
+    bsz, c, h, w = f1.shape
+    nd = (2 * md + 1) ** 2
+    tile_h = _pick_tile_h(h, w, c + nd, md)
+    n_tiles = h // tile_h
+    gq = _halo_pad(g, md, tile_h, n_tiles)
+    f1q = _halo_pad(f1, md, tile_h, n_tiles)
+    return pl.pallas_call(
+        functools.partial(_corr_df2_kernel, md=md, tile_h=tile_h, w=w),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            _block(nd, tile_h, w + 2 * md, 0),
+            _block(nd, tile_h, w + 2 * md, 1),
+            _block(c, tile_h, w + 2 * md, 0),
+            _block(c, tile_h, w + 2 * md, 1),
+        ],
+        out_specs=_block(c, tile_h, w, 0),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, h, w), f1.dtype),
+        scratch_shapes=[pltpu.VMEM((c, tile_h, w), jnp.float32)],
+    )(gq, gq, f1q, f1q)
+
+
+def _supported(h: int, md: int) -> bool:
+    return h % 8 == 0 and 8 >= 2 * md
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def cost_volume_pallas(f1: jax.Array, f2: jax.Array, md: int = 4) -> jax.Array:
     """(B, H, W, C) x2 -> (B, H, W, (2md+1)^2), reference channel order."""
-    return _cost_volume_fwd_pallas(f1, f2, md)
+    return _fwd(f1, f2, md)[0]
 
 
 def _fwd(f1, f2, md):
-    return _cost_volume_fwd_pallas(f1, f2, md), (f1, f2)
+    if not _supported(f1.shape[1], md):
+        from unopticalflow_tpu.ops.cost_volume import cost_volume_xla
+
+        # tiny coarse levels: negligible work, XLA handles them
+        return cost_volume_xla(f1, f2, md), (f1, f2)
+    f1c = jnp.transpose(f1, (0, 3, 1, 2))
+    f2c = jnp.transpose(f2, (0, 3, 1, 2))
+    out = _corr_fwd_nchw(f1c, f2c, md)
+    return jnp.transpose(out, (0, 2, 3, 1)), (f1, f2)
 
 
-cost_volume_pallas.defvjp(_fwd, _cost_volume_bwd_xla)
+def _bwd(md, res, g):
+    f1, f2 = res
+    if not _supported(f1.shape[1], md):
+        from unopticalflow_tpu.ops.pallas_kernels_xla_bwd import cost_volume_bwd_xla
+
+        return cost_volume_bwd_xla(md, res, g)
+    gc = jnp.transpose(g, (0, 3, 1, 2))
+    f1c = jnp.transpose(f1, (0, 3, 1, 2))
+    f2c = jnp.transpose(f2, (0, 3, 1, 2))
+    df1 = _corr_df1_nchw(gc, f2c, md)
+    df2 = _corr_df2_nchw(gc, f1c, md)
+    return (
+        jnp.transpose(df1, (0, 2, 3, 1)),
+        jnp.transpose(df2, (0, 2, 3, 1)),
+    )
+
+
+cost_volume_pallas.defvjp(_fwd, _bwd)
