@@ -81,7 +81,8 @@ def main():
         return jnp.broadcast_to(base, f1.shape[:3] + ((2 * md + 1) ** 2,))
 
     def fake_ssim(x, y):
-        return 1.0 - 0.0 * (x + y)
+        # cheap map with the right shape that still fuses cleanly
+        return x - y
 
     variants = {
         "full": {},
@@ -89,6 +90,8 @@ def main():
         "no-corr": {"corr": fake_corr},
         "no-warp+corr": {"warp": fake_warp, "corr": fake_corr},
         "no-ssim": {"ssim": fake_ssim},
+        "convs-only": {"loss": "flows"},
+        "no-context": {"context": True},
     }
 
     for name, mods in variants.items():
@@ -102,6 +105,42 @@ def main():
             import unopticalflow_tpu.models.losses as ls
 
             patches.append(mock.patch.object(ls, "ssim", mods["ssim"]))
+        if mods.get("context"):
+            # skip the dilated context net refinement (pwc_decoder lvl-2 tail)
+            import unopticalflow_tpu.models.pwc_decoder as pwcmod
+            real_block = pwcmod.conv_block
+
+            def skip_dc(p, x, stride=1, dilation=1, compute_dtype=None):
+                if dilation > 1:
+                    return x[..., :p["w"].shape[-1]] if x.shape[-1] >= p["w"].shape[-1] else real_block(p, x, stride, dilation, compute_dtype)
+                return real_block(p, x, stride, dilation, compute_dtype)
+
+            patches.append(mock.patch.object(pwcmod, "conv_block", skip_dc))
+        if mods.get("loss") == "flows":
+            # bypass the whole loss stack: loss = mean of decoder outputs
+            real_fwd = fm.forward
+
+            def flows_only(params, c, images):
+                img_h = images.shape[1] // 3
+                fp = params["fpyramid"]
+                from unopticalflow_tpu.models.feature_pyramid import (
+                    apply_feature_pyramid,
+                )
+                from unopticalflow_tpu.models.pwc_decoder import apply_pwc_decoder
+
+                f_c = apply_feature_pyramid(fp, images[:, img_h:2*img_h], c.cdtype)
+                f_l = apply_feature_pyramid(fp, images[:, :img_h], c.cdtype)
+                f_r = apply_feature_pyramid(fp, images[:, 2*img_h:], c.cdtype)
+                fb = apply_pwc_decoder(params["pwc"], f_c, f_l, (img_h, images.shape[2]),
+                                       compute_dtype=c.cdtype, use_pallas_corr=c.use_pallas_corr)
+                ff = apply_pwc_decoder(params["pwc"], f_c, f_r, (img_h, images.shape[2]),
+                                       compute_dtype=c.cdtype, use_pallas_corr=c.use_pallas_corr)
+                z = sum(jnp.mean(jnp.abs(f.astype(jnp.float32)), axis=(1,2,3)) for f in fb+ff)
+                return {"loss_pixel": z, "loss_ssim": z, "loss_flow_smooth": z,
+                        "loss_flow_consis": z}
+
+            import unopticalflow_tpu.training.train_step as ts
+            patches.append(mock.patch.object(ts, "forward", flows_only))
         for pt in patches:
             pt.start()
         try:
