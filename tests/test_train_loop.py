@@ -1,0 +1,91 @@
+"""Integration test: the full train() loop on a synthetic prepared dir (CPU).
+
+Exercises the loop glue end-to-end — dataset/loader construction, prefetch,
+jitted step, loss printing, checkpoint cadence and resume — without any
+dataset download or TPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import train as train_cli
+from unopticalflow_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("loop")
+    prep = root / "prepared" / "data_s1"
+    drive = prep / "d" / "r"
+    drive.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = []
+    h, w = 32, 32  # raw on-disk size; dataset resizes to img_hw
+    for i in range(4):
+        base = rng.randint(0, 255, (h + 4, w, 3), dtype=np.uint8)
+        tri = np.concatenate([base[:h], base[2 : h + 2], base[4 : h + 4]], 0)
+        cv2.imwrite(str(drive / f"{i:010d}.png"), tri)
+        lines.append(f"d/r/{i:010d}.png d/calib.txt\n")
+    (prep / "d").mkdir(exist_ok=True)
+    with open(prep / "d" / "calib.txt", "w") as f:
+        f.write("P_rect_02: 30.0 0.0 16.0 0.0 0.0 30.0 16.0 0.0 0.0 0.0 1.0 0.0\n")
+    with open(prep / "train.txt", "w") as f:
+        f.writelines(lines)
+    (root / "models").mkdir()
+    return root
+
+
+def _cfg(root, **over):
+    d = dict(
+        dataset="kitti_depth",
+        num_scales=3,
+        num_iterations=3,
+        w_ssim=0.85,
+        w_flow_smooth=10.0,
+        w_flow_consis=0.01,
+        img_hw=(64, 64),
+        prepared_base_dir=str(root / "prepared"),
+        prepared_save_dir="data_s1",
+        raw_base_dir="/nonexistent",
+        static_frames_txt="/nonexistent",
+        test_scenes_txt="/nonexistent",
+        model_dir=str(root / "models"),
+        log_dump_dir=str(root / "models" / "log.pkl"),
+        batch_size=2,
+        iter_start=0,
+        lr=1e-4,
+        num_workers=1,
+        log_interval=1,
+        test_interval=1000,
+        save_interval=2,
+        mode="flow",
+        resume=False,
+        multi_gpu=False,
+        no_test=True,
+        flow_pretrained_model=None,
+        depth_pretrained_model=None,
+        precision="float32",
+        pallas_corr="off",
+        seed=0,
+    )
+    d.update(over)
+    return Config(d)
+
+
+def test_train_loop_and_resume(workspace, capsys):
+    state = train_cli.train(_cfg(workspace))
+    out = capsys.readouterr().out
+    assert "iter: 0, loss_pixel:" in out
+    assert int(state.step) == 3
+    files = set(os.listdir(workspace / "models"))
+    assert {"iter_1.ckpt", "last.ckpt"} <= files
+
+    # resume from last.ckpt: continues at the stored iteration
+    state2 = train_cli.train(_cfg(workspace, resume=True))
+    out2 = capsys.readouterr().out
+    assert "starting iteration: 1." in out2
+    assert int(state2.step) >= 3
