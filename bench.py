@@ -122,9 +122,10 @@ if __name__ == "__main__":
 
     import jax
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    from unopticalflow_tpu.utils.platform import on_tpu
+
     compute_dtype = "float32" if args.fp32 else "bfloat16"
-    use_pallas = (not args.no_pallas) and on_tpu
+    use_pallas = (not args.no_pallas) and on_tpu()
 
     fn = bench_infer if args.infer else bench_train
     value, _ = fn(args.batch, tuple(args.hw), args.iters, compute_dtype, use_pallas)

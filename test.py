@@ -119,10 +119,9 @@ if __name__ == "__main__":
             "NameError) — only --mode flow is supported."
         )
 
-    if args.pallas_corr == "auto":
-        use_pallas = jax.devices()[0].platform not in ("cpu",)
-    else:
-        use_pallas = args.pallas_corr == "on"
+    from unopticalflow_tpu.utils.platform import resolve_pallas
+
+    use_pallas = resolve_pallas(args.pallas_corr)
     model_cfg = FlowModelConfig(
         num_scales=cfg.num_scales,
         compute_dtype=args.precision,

@@ -128,3 +128,34 @@ def test_kitti_2015_eval_dataset(tmp_path):
     pair = ds[1]
     assert pair.shape == (32, 32, 3)
     np.testing.assert_array_equal(pair, ds[1])  # no flip at test time
+
+
+def test_batch_loader_early_exit_no_leak(prepared_dir):
+    import threading
+
+    ds = KITTI_Prepared(prepared_dir, img_hw=(16, 32), num_iterations=40)
+    before = threading.active_count()
+    it = iter(BatchLoader(ds, batch_size=2, num_workers=2, prefetch_batches=1))
+    next(it)
+    del it  # abandon mid-iteration: producer must observe stop and exit
+    import gc, time
+
+    gc.collect()
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1
+
+
+def test_platform_resolver():
+    from unopticalflow_tpu.utils.platform import resolve_pallas
+
+    assert resolve_pallas("on") is True
+    assert resolve_pallas("off") is False
+    assert resolve_pallas(True) is True
+    assert resolve_pallas("auto") in (True, False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resolve_pallas("bogus")

@@ -51,7 +51,12 @@ def build_arg_parser():
     p.add_argument("--no_test", action="store_true")
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"],
-                   help="conv/corr compute dtype (TPU extension).")
+                   help="compute dtype for convs/corr AND the image-space "
+                        "loss stack (TPU extension).")
+    p.add_argument("--loss_precision", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="override the loss-stack dtype independently of "
+                        "--precision (e.g. bf16 convs with fp32 losses).")
     p.add_argument("--pallas_corr", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas cost-volume kernels: auto = on for TPU "
@@ -90,15 +95,14 @@ def train(cfg):
 
     from test import test_kitti_2012, test_kitti_2015
 
-    pallas_mode = cfg.get("pallas_corr", "auto")
-    if pallas_mode == "auto":
-        use_pallas = jax.devices()[0].platform not in ("cpu",)
-    else:
-        use_pallas = pallas_mode == "on"
+    from unopticalflow_tpu.utils.platform import resolve_pallas
+
+    precision = cfg.get("precision", "float32")
     model_cfg = FlowModelConfig(
         num_scales=cfg.num_scales,
-        compute_dtype=cfg.get("precision", "float32"),
-        use_pallas_corr=use_pallas,
+        compute_dtype=precision,
+        loss_dtype=cfg.get("loss_precision", None) or precision,
+        use_pallas_corr=resolve_pallas(cfg.get("pallas_corr", "auto")),
     )
     init_fn = get_model(cfg.mode)
     params = init_fn(jax.random.PRNGKey(cfg.get("seed", 0)))
@@ -178,6 +182,11 @@ def train(cfg):
         print(f"data-parallel mesh over {mesh.devices.size} devices")
     step_fn = make_train_step(model_cfg, loss_weights, lr=cfg.lr, mesh=mesh)
 
+    # compiled once; evals pass the current params explicitly
+    infer_jit = jax.jit(
+        lambda params, i1, i2: inference_flow(params, model_cfg, i1, i2)
+    )
+
     def save(iteration):
         ckpt.save_checkpoint(
             os.path.join(cfg.model_dir, f"iter_{iteration}.ckpt"),
@@ -192,7 +201,7 @@ def train(cfg):
     stream = device_prefetch(iter(loader), sharding=batch_sharding)
     for iter_, inputs in enumerate(stream):
         if (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test) and eval_gts:
-            infer = lambda i1, i2: inference_flow(state.params, model_cfg, i1, i2)
+            infer = lambda i1, i2: infer_jit(state.params, i1, i2)
             res_2012 = test_kitti_2012(cfg, infer, eval_gts[0], eval_gts[1])
             res_2015 = test_kitti_2015(
                 cfg, infer, eval_gts[2], eval_gts[3], eval_gts[4]

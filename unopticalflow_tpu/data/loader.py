@@ -61,17 +61,29 @@ class BatchLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Queue-put that stays responsive to stop (consumer gone)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for idxs in batches:
                     if stop.is_set():
                         return
                     try:
-                        out_q.put(self._load_batch(pool, idxs))
+                        batch = self._load_batch(pool, idxs)
                     except Exception as e:  # surface worker errors to consumer
-                        out_q.put(e)
+                        put(e)
                         return
-                out_q.put(None)
+                    if not put(batch):
+                        return
+                put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
