@@ -159,3 +159,15 @@ def test_platform_resolver():
 
     with _pytest.raises(ValueError):
         resolve_pallas("bogus")
+
+
+def test_decoded_cache(prepared_dir, tmp_path):
+    ds_plain = KITTI_Prepared(prepared_dir, img_hw=(16, 32), num_iterations=20)
+    ds_cached = KITTI_Prepared(
+        prepared_dir, img_hw=(16, 32), num_iterations=20,
+        cache_dir=str(tmp_path / "cache"),
+    )
+    for idx in (0, 7, 13):
+        np.testing.assert_array_equal(ds_plain[idx], ds_cached[idx])
+        np.testing.assert_array_equal(ds_plain[idx], ds_cached[idx])  # warm hit
+    assert len(os.listdir(tmp_path / "cache")) > 0

@@ -37,16 +37,34 @@ def _resize(img, wh):
 
 
 class StackedFrameDataset:
-    """Base: train.txt manifest of vertically stacked ``num_frames`` PNGs."""
+    """Base: train.txt manifest of vertically stacked ``num_frames`` PNGs.
+
+    ``cache_dir``: optional directory of decoded-and-resized uint8 ``.npy``
+    copies, filled lazily on first access.  PNG decode + per-frame resize
+    dominates host time on few-core hosts (a v5e step is faster than decoding
+    its batch on one core); the cache turns repeat visits — guaranteed by the
+    idx-seeded uniform resampling over a finite dataset — into mmap reads.
+    Augmentation (flip) stays per-index downstream of the cache.
+    """
 
     num_frames = 3
     has_intrinsics = True
 
-    def __init__(self, data_dir, num_scales=3, img_hw=(256, 832), num_iterations=None):
+    def __init__(
+        self,
+        data_dir,
+        num_scales=3,
+        img_hw=(256, 832),
+        num_iterations=None,
+        cache_dir=None,
+    ):
         self.data_dir = data_dir
         self.num_scales = num_scales
         self.img_hw = tuple(img_hw)
         self.num_iterations = num_iterations
+        self.cache_dir = cache_dir
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
         self.data_list = self.get_data_list(os.path.join(data_dir, "train.txt"))
 
     # -- manifest ----------------------------------------------------------
@@ -121,6 +139,22 @@ class StackedFrameDataset:
         )
 
     # -- items ---------------------------------------------------------------
+    def _resized_uint8(self, sample_idx):
+        """Decoded + resized (pre-augmentation) uint8 stack, cached if asked."""
+        data = self.data_list[sample_idx]
+        if self.cache_dir is None:
+            return self.resize_img(_imread(data["image_file"]), self.img_hw)
+        h, w = self.img_hw
+        cache = os.path.join(self.cache_dir, f"{sample_idx:08d}_{h}x{w}.npy")
+        if os.path.exists(cache):
+            return np.load(cache, mmap_mode="r")
+        img = self.resize_img(_imread(data["image_file"]), self.img_hw)
+        tmp = cache + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:  # np.save(path) would append .npy to tmp
+            np.save(f, img.astype(np.uint8))
+        os.replace(tmp, cache)  # atomic: concurrent workers race benignly
+        return img
+
     def __getitem__(self, idx):
         """Returns (num_frames*H, W, 3) float32 in [0, 1]."""
         rng = None
@@ -128,9 +162,11 @@ class StackedFrameDataset:
             if idx >= self.num_iterations:
                 raise IndexError(idx)
             idx, rng = self.rand_num(idx)
-        data = self.data_list[idx]
-        img = _imread(data["image_file"])
-        return self.preprocess_img(img, self.img_hw, rng=rng)
+        img = self._resized_uint8(idx)
+        rng = rng or np.random
+        if rng.rand() > 0.5:  # joint horizontal flip of the whole stack
+            img = img[:, ::-1]
+        return np.ascontiguousarray(img, dtype=np.float32) / 255.0
 
 
 class KITTI_Prepared(StackedFrameDataset):
