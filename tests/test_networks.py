@@ -163,3 +163,16 @@ def test_deconv_matches_torch():
     ).numpy().transpose(0, 2, 3, 1)
     assert out.shape == want.shape
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_loss_stack_close_to_fp32(params):
+    images = jnp.asarray(RNG.rand(1, 3 * 64, 64, 3).astype(np.float32))
+    a = forward(params, CFG, images)
+    b = forward(
+        params, FlowModelConfig(num_scales=3, loss_dtype="bfloat16"), images
+    )
+    for k in a:
+        ref = float(a[k][0])
+        got = float(b[k][0])
+        # bf16 image-space math with fp32 accumulators: few-percent agreement
+        assert abs(got - ref) <= 0.03 * abs(ref) + 1e-4, (k, ref, got)

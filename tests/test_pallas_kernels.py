@@ -55,3 +55,16 @@ def test_small_levels_fall_back_to_xla():
     got = cost_volume_pallas(f1, f2, 4)
     want = cost_volume_xla(f1, f2, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_corr_bf16_interpret():
+    b, h, w, c = 1, 16, 12, 8
+    f1 = jnp.asarray(RNG.rand(b, h, w, c).astype(np.float32)).astype(jnp.bfloat16)
+    f2 = jnp.asarray(RNG.rand(b, h, w, c).astype(np.float32)).astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got = cost_volume_pallas(f1, f2, 4)
+    want = cost_volume_xla(f1.astype(jnp.float32), f2.astype(jnp.float32), 4)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
