@@ -29,14 +29,41 @@ def test_euler2mat_orthonormal_and_known():
     np.testing.assert_allclose(m @ [1, 0, 0], [0, 1, 0], atol=1e-6)
 
 
+def test_euler2mat_composition_order():
+    """Reference composes xmat @ ymat @ zmat (inverse_warp.py:111)."""
+    rx, ry, rz = 0.1, 0.2, 0.3
+
+    def rot(axis, a):
+        c, s = np.cos(a), np.sin(a)
+        m = np.eye(3)
+        i, j = [(1, 2), (0, 2), (0, 1)][axis]
+        m[i, i] = c
+        m[j, j] = c
+        m[i, j] = -s if axis != 1 else s
+        m[j, i] = s if axis != 1 else -s
+        return m
+
+    want = rot(0, rx) @ rot(1, ry) @ rot(2, rz)
+    got = np.asarray(euler2mat(jnp.asarray([[rx, ry, rz]])))[0]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_quat2mat_identity_and_norm():
-    m = np.asarray(quat2mat(jnp.asarray([[1.0, 0, 0, 0], [2.0, 0, 0, 0]])))
+    # reference convention: (B, 3) last-three coefficients, implicit w=1
+    m = np.asarray(quat2mat(jnp.zeros((2, 3))))
     np.testing.assert_allclose(m[0], np.eye(3), atol=1e-6)
-    np.testing.assert_allclose(m[1], np.eye(3), atol=1e-6)  # unnormalized ok
-    q = jnp.asarray(RNG.randn(3, 4).astype(np.float32))
+    np.testing.assert_allclose(m[1], np.eye(3), atol=1e-6)
+    q = jnp.asarray(RNG.randn(3, 3).astype(np.float32))
     mats = np.asarray(quat2mat(q))
     for m in mats:
         np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(m) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pose_vec2mat_quat_mode():
+    vec = jnp.asarray(RNG.randn(2, 6).astype(np.float32) * 0.1)
+    mat = pose_vec2mat(vec, rotation_mode="quat")
+    assert mat.shape == (2, 3, 4)
 
 
 def test_pose_vec2mat_shapes():

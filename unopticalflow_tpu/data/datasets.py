@@ -36,6 +36,13 @@ def _resize(img, wh):
     return cv2.resize(img, wh)
 
 
+def _maybe_flip(img, rng):
+    """Joint horizontal flip of the whole stack with probability 0.5."""
+    if rng.rand() > 0.5:
+        return img[:, ::-1]
+    return img
+
+
 class StackedFrameDataset:
     """Base: train.txt manifest of vertically stacked ``num_frames`` PNGs.
 
@@ -107,10 +114,8 @@ class StackedFrameDataset:
         img_hw = img_hw or self.img_hw
         img = self.resize_img(img, img_hw)
         if not is_test:
-            rng = rng or np.random
-            if rng.rand() > 0.5:  # joint horizontal flip of the whole stack
-                img = img[:, ::-1]
-        return img.astype(np.float32) / 255.0
+            img = _maybe_flip(img, rng or np.random)
+        return np.ascontiguousarray(img, dtype=np.float32) / 255.0
 
     # -- intrinsics --------------------------------------------------------
     def read_cam_intrinsic(self, fname):
@@ -141,18 +146,27 @@ class StackedFrameDataset:
     # -- items ---------------------------------------------------------------
     def _resized_uint8(self, sample_idx):
         """Decoded + resized (pre-augmentation) uint8 stack, cached if asked."""
+        import hashlib
+        import threading
+        import uuid
+
         data = self.data_list[sample_idx]
         if self.cache_dir is None:
             return self.resize_img(_imread(data["image_file"]), self.img_hw)
         h, w = self.img_hw
-        cache = os.path.join(self.cache_dir, f"{sample_idx:08d}_{h}x{w}.npy")
+        # key by source path (not index): a regenerated train.txt in the same
+        # data_dir must miss instead of silently serving stale frames
+        tag = hashlib.sha1(data["image_file"].encode()).hexdigest()[:16]
+        cache = os.path.join(self.cache_dir, f"{tag}_{h}x{w}.npy")
         if os.path.exists(cache):
             return np.load(cache, mmap_mode="r")
         img = self.resize_img(_imread(data["image_file"]), self.img_hw)
-        tmp = cache + f".tmp{os.getpid()}"
+        # unique tmp per writer: loader threads share a PID and may fill the
+        # same entry concurrently
+        tmp = f"{cache}.tmp{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:  # np.save(path) would append .npy to tmp
             np.save(f, img.astype(np.uint8))
-        os.replace(tmp, cache)  # atomic: concurrent workers race benignly
+        os.replace(tmp, cache)  # atomic publish; losers just overwrite equal bytes
         return img
 
     def __getitem__(self, idx):
@@ -162,10 +176,7 @@ class StackedFrameDataset:
             if idx >= self.num_iterations:
                 raise IndexError(idx)
             idx, rng = self.rand_num(idx)
-        img = self._resized_uint8(idx)
-        rng = rng or np.random
-        if rng.rand() > 0.5:  # joint horizontal flip of the whole stack
-            img = img[:, ::-1]
+        img = _maybe_flip(self._resized_uint8(idx), rng or np.random)
         return np.ascontiguousarray(img, dtype=np.float32) / 255.0
 
 

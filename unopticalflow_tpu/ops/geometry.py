@@ -70,7 +70,7 @@ def cam2pixel(
 
 def euler2mat(angle: jax.Array) -> jax.Array:
     """Euler angles (B, 3) [rx, ry, rz] -> rotation matrices (B, 3, 3),
-    composed as Rz @ Ry @ Rx (inverse_warp.py:77-113)."""
+    composed as Rx @ Ry @ Rz (inverse_warp.py:77-113)."""
     x, y, z = angle[:, 0], angle[:, 1], angle[:, 2]
     zeros = jnp.zeros_like(x)
     ones = jnp.ones_like(x)
@@ -87,14 +87,17 @@ def euler2mat(angle: jax.Array) -> jax.Array:
     rx = jnp.stack(
         [ones, zeros, zeros, zeros, cx, -sx, zeros, sx, cx], axis=1
     ).reshape(-1, 3, 3)
-    return rz @ ry @ rx
+    return rx @ ry @ rz
 
 
 def quat2mat(quat: jax.Array) -> jax.Array:
-    """Quaternions (B, 4) [w, x, y, z] (unnormalized) -> (B, 3, 3)
-    (inverse_warp.py:115-137)."""
-    norm = jnp.linalg.norm(quat, axis=1, keepdims=True)
-    q = quat / jnp.clip(norm, 1e-12, None)
+    """Quaternion [x, y, z] coefficients -> (B, 3, 3) rotation matrices.
+
+    Reference semantics (inverse_warp.py:115-137): the input carries the
+    *last three* coefficients; w = 1 is prepended before normalization.
+    """
+    q = jnp.concatenate([jnp.ones_like(quat[:, :1]), quat], axis=1)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
     qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
     w2, x2, y2, z2 = qw * qw, qx * qx, qy * qy, qz * qz
     wx, wy, wz = qw * qx, qw * qy, qw * qz

@@ -66,19 +66,6 @@ def _corner_weights(img_hw, x, y):
     return corners
 
 
-def _warp_four_gathers(img, corners, img_hw):
-    """One row-gather per bilinear corner (best for wide channel counts)."""
-    h, w = img_hw
-    out = 0.0
-    for yi, xi, wgt in corners:
-        yi_c = jnp.clip(yi, 0, h - 1)
-        xi_c = jnp.clip(xi, 0, w - 1)
-        # weights computed in flow precision, applied in image precision so a
-        # bf16 image keeps the whole multiply-accumulate in bf16 lanes
-        out = out + _gather_hw(img, yi_c, xi_c) * wgt.astype(img.dtype)[..., None]
-    return out
-
-
 def _warp_packed_gather(img, corners, img_hw):
     """Single gather of 2x2 windows packed into channels (best for small C).
 
