@@ -87,8 +87,11 @@ def inference_flow(params, cfg: FlowModelConfig, img1, img2):
         (B, H, W, 2) flow in pixels at network-input resolution.
     """
     img_hw = (img1.shape[1], img1.shape[2])
-    f1 = apply_feature_pyramid(params["fpyramid"], img1, cfg.cdtype)
-    f2 = apply_feature_pyramid(params["fpyramid"], img2, cfg.cdtype)
+    b = img1.shape[0]
+    # one encoder dispatch for both frames (stacked on batch)
+    f = _encode(params, cfg, jnp.concatenate([img1, img2], 0))
+    f1 = [x[:b] for x in f]
+    f2 = [x[b:] for x in f]
     return _decode(params, cfg, f1, f2, img_hw)[0].astype(jnp.float32)
 
 
@@ -103,46 +106,57 @@ def forward(params, cfg: FlowModelConfig, images):
         dict of per-sample (B,) float32 losses:
         loss_pixel, loss_ssim, loss_flow_smooth, loss_flow_consis.
     """
+    b = images.shape[0]
     img_h = images.shape[1] // 3
     img_w = images.shape[2]
     imgl = images[:, :img_h]
     img = images[:, img_h : 2 * img_h]
     imgr = images[:, 2 * img_h :]
 
-    feat_l = _encode(params, cfg, imgl)
-    feat_c = _encode(params, cfg, img)
-    feat_r = _encode(params, cfg, imgr)
+    # Batch-packed execution: the three encoder passes run as ONE dispatch at
+    # 3B, and the bwd (center->prev) + fwd (center->next) decoder passes as
+    # ONE dispatch at 2B.  Per-sample math is identical to three/two separate
+    # calls (convs don't mix batch elements); the packing triples/doubles the
+    # GEMM M-dimension so the small-N estimator-tail convs tile the MXU far
+    # better, and it halves warp/corr kernel dispatch count.
+    feats = _encode(params, cfg, jnp.concatenate([img, imgl, imgr], 0))
+    feat_c = [f[:b] for f in feats]
+    feat_lr = [f[b:] for f in feats]  # (2B, ...) packed [left; right]
 
-    flows_bwd = _decode(params, cfg, feat_c, feat_l, (img_h, img_w))
-    flows_fwd = _decode(params, cfg, feat_c, feat_r, (img_h, img_w))
-    flows_bwd = [f.astype(jnp.float32) for f in flows_bwd]
-    flows_fwd = [f.astype(jnp.float32) for f in flows_fwd]
+    feats_cc = [jnp.concatenate([fc, fc], 0) for fc in feat_c]
+    flows = _decode(params, cfg, feats_cc, feat_lr, (img_h, img_w))
+    flows = [f.astype(jnp.float32) for f in flows]  # (2B,...) [bwd; fwd]
 
-    num_levels = len(flows_fwd)
+    num_levels = len(flows)
     ld = cfg.ldtype
-    pyr_l = avg_pool_pyramid(imgl.astype(ld), num_levels)
     pyr_c = avg_pool_pyramid(img.astype(ld), num_levels)
-    pyr_r = avg_pool_pyramid(imgr.astype(ld), num_levels)
+    pyr_lr = avg_pool_pyramid(
+        jnp.concatenate([imgl, imgr], 0).astype(ld), num_levels
+    )
 
-    warped_from_l = [
-        bilinear_warp(i, f, use_mask=True) for i, f in zip(pyr_l, flows_bwd)
-    ]
-    warped_from_r = [
-        bilinear_warp(i, f, use_mask=True) for i, f in zip(pyr_r, flows_fwd)
+    # one warp dispatch per scale for both directions (gathers on TPU are
+    # index-rate-bound; packing halves fixed per-dispatch overhead)
+    warped_lr = [
+        bilinear_warp(i, f, use_mask=True) for i, f in zip(pyr_lr, flows)
     ]
 
     ns = cfg.num_scales
-    diff_bwd, diff_fwd, w_bwd, w_fwd = losses.diff_and_occlusion_weights(
-        warped_from_l, pyr_c, warped_from_r, ns
+    diffs, weights = losses.diff_and_occlusion_weights_packed(
+        warped_lr, pyr_c, ns
     )
+    pyr_cc = [jnp.concatenate([p, p], 0) for p in pyr_c[:ns]]
+
+    def halves(v):  # (2B,) packed [bwd; fwd] -> per-sample (B,) sum
+        return v[:b] + v[b:]
+
+    flows_bwd = [f[:b] for f in flows[:ns]]
+    flows_fwd = [f[b:] for f in flows[:ns]]
+    w_fwd = [w[b:] for w in weights]
 
     loss_pack = {
-        "loss_pixel": losses.masked_diff_loss(diff_fwd, w_fwd, ns)
-        + losses.masked_diff_loss(diff_bwd, w_bwd, ns),
-        "loss_ssim": losses.masked_ssim_loss(pyr_c, warped_from_r, w_fwd, ns)
-        + losses.masked_ssim_loss(pyr_c, warped_from_l, w_bwd, ns),
-        "loss_flow_smooth": losses.flow_smooth_loss(flows_fwd, pyr_c, ns)
-        + losses.flow_smooth_loss(flows_bwd, pyr_c, ns),
+        "loss_pixel": halves(losses.masked_diff_loss(diffs, weights, ns)),
+        "loss_ssim": halves(losses.masked_ssim_loss(pyr_cc, warped_lr, weights, ns)),
+        "loss_flow_smooth": halves(losses.flow_smooth_loss(flows, pyr_cc, ns)),
         "loss_flow_consis": losses.flow_consistency_loss(
             flows_fwd, flows_bwd, w_fwd, ns
         ),

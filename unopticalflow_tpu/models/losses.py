@@ -80,6 +80,38 @@ def diff_and_occlusion_weights(imgs_from_l, imgs, imgs_from_r, num_scales: int):
     return diff_bwd, diff_fwd, weight_bwd, weight_fwd
 
 
+def diff_and_occlusion_weights_packed(warped_lr, imgs, num_scales: int):
+    """Batch-packed variant of :func:`diff_and_occlusion_weights`.
+
+    ``warped_lr[s]`` stacks the from-prev (bwd) and from-next (fwd) warped
+    images along the batch axis as ``[from_l; from_r]`` of shape (2B, H, W, C)
+    — the layout the merged single decoder/warp pass produces.  Returns
+    per-scale (2B, H, W, 1) diffs and occlusion weights in the same packed
+    order.  Identical per-sample math to the unpacked form
+    (model_flow_paper.py:101-134); only the batching differs.
+    """
+    diffs, weights = [], []
+    for s in range(num_scales):
+        w2 = warped_lr[s]
+        img = imgs[s]
+        b = img.shape[0]
+
+        valid = 1.0 - jnp.all(w2 == 0, axis=-1, keepdims=True).astype(img.dtype)
+        diff = jnp.mean(
+            jnp.abs(jnp.concatenate([img, img], 0) - w2), axis=-1, keepdims=True
+        )
+
+        w = 1.0 - jax.nn.softmax(
+            jnp.concatenate([diff[:b], diff[b:]], -1), axis=-1
+        )
+        w = jax.lax.stop_gradient(w)
+        w = 2.0 * jnp.exp(-jnp.square(w - 0.5) / 0.03)
+
+        weights.append(jnp.concatenate([w[..., 0:1], w[..., 1:2]], 0) * valid)
+        diffs.append(diff)
+    return diffs, weights
+
+
 def masked_diff_loss(diffs, occ_masks, num_scales: int) -> jax.Array:
     """Sum over scales of mean(diff * occ) / (mean(occ) + eps) (:90-99)."""
     total = 0.0

@@ -27,17 +27,13 @@ def _avg_pool3(x: jax.Array) -> jax.Array:
     """
     b, h, w, c = x.shape
     packed = x.reshape(b, h, w * c)
-    # init must be the literal 0.0 so JAX pattern-matches the differentiable
-    # reduce_window_sum monoid (an Array init kills reverse-mode autodiff)
-    s = jax.lax.reduce_window(
-        packed,
-        0.0,
-        jax.lax.add,
-        window_dimensions=(1, 3, 3),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (1, 1), (c, c)),
-        window_dilation=(1, 1, c),
-    )
+    # explicit pad + shifted adds instead of lax.reduce_window: the TPU
+    # reduce-window emitter runs ~20x slower than bandwidth (measured 1.08 ms
+    # per full-res pool); these slices fuse into one loop fusion
+    p = jnp.pad(packed, ((0, 0), (1, 1), (0, 0)))
+    t = p[:, :-2] + p[:, 1:-1] + p[:, 2:]
+    q = jnp.pad(t, ((0, 0), (0, 0), (c, c)))
+    s = q[:, :, : -2 * c] + q[:, :, c:-c] + q[:, :, 2 * c :]
     return s.reshape(b, h, w, c) * jnp.asarray(1.0 / 9.0, x.dtype)
 
 
