@@ -1,0 +1,153 @@
+"""Probe alternative formulations of the warp gather on the real chip.
+
+The finest-scale loss warp is ONE XLA gather of 3.4M 12-channel rows that
+costs ~29 ms (8.6 ns/row; the same gather in natural {1,0} layout runs at
+6.3 ns/row).  This probe times standalone variants to pick a formulation:
+
+  taa            current: take_along_axis (B, HW, C) with (B, HW, 1) idx
+  taa_f32        same in float32 (different layout/tiling decisions)
+  flat           single flat take over (B*HW, C) with batch-offset indices
+  taa_pad16      channels zero-padded 12 -> 16 (full sublane tile)
+  taa_pad128     channels zero-padded 12 -> 128 (full lane tile)
+  onehot_mm      one-hot matmul over H* via MXU (per 128-px tile) -- sanity
+  pallas_loop    Pallas kernel: image resident in VMEM, idx streamed through
+                 SMEM, scalar loop of dynamic slices
+
+Run: PYTHONPATH=. python benchmarks/gather_probe.py
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _sync_sum(x):
+    return jnp.sum(x.astype(jnp.float32))
+
+
+def timeit(fn, *args, iters=30, warmup=8):
+    # NOTE: on the tunneled TPU, block_until_ready returns early; fetching a
+    # scalar is the only reliable sync.  The sum runs as a separate dispatch
+    # so the probe op itself still materializes its full output; its cost
+    # (one bandwidth pass) is measured once and subtracted.
+    for _ in range(warmup):
+        out = fn(*args)
+        _ = float(_sync_sum(out))
+    sync_costs = []
+    for _ in range(6):
+        out = fn(*args)
+        _ = float(_sync_sum(out))  # drain queue
+        t0 = time.perf_counter()
+        _ = float(_sync_sum(out))
+        sync_costs.append(time.perf_counter() - t0)
+    sync_ms = float(np.median(sync_costs) * 1e3)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = float(_sync_sum(out))
+        times.append(time.perf_counter() - t0)
+    return max(float(np.median(times) * 1e3) - sync_ms, 0.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--hw", type=int, nargs=2, default=(256, 832))
+    p.add_argument("--ch", type=int, default=12)
+    args = p.parse_args()
+
+    b = args.batch
+    h, w = args.hw
+    c = args.ch
+    hw = h * w
+    src_n = (h + 1) * (w + 1)
+    rng = np.random.RandomState(0)
+
+    img = jnp.asarray(rng.rand(b, src_n, c).astype(np.float32), jnp.bfloat16)
+    idx = jnp.asarray(rng.randint(0, src_n, (b, hw, 1)).astype(np.int32))
+
+    n_rows = b * hw
+
+    @jax.jit
+    def taa(img, idx):
+        return jnp.take_along_axis(img, idx, axis=1)
+
+    @jax.jit
+    def taa_f32(img, idx):
+        return jnp.take_along_axis(img.astype(jnp.float32), idx, axis=1)
+
+    @jax.jit
+    def flat(img, idx):
+        fi = img.reshape(b * src_n, c)
+        off = (jnp.arange(b, dtype=jnp.int32) * src_n)[:, None, None]
+        return jnp.take(fi, (idx + off).reshape(-1), axis=0)
+
+    @jax.jit
+    def taa_pad16(img, idx):
+        pad = jnp.pad(img, ((0, 0), (0, 0), (0, 16 - c)))
+        return jnp.take_along_axis(pad, idx, axis=1)
+
+    @jax.jit
+    def taa_pad128(img, idx):
+        pad = jnp.pad(img, ((0, 0), (0, 0), (0, 128 - c)))
+        return jnp.take_along_axis(pad, idx, axis=1)
+
+    results = {}
+    results["taa"] = timeit(taa, img, idx)
+    results["taa_f32"] = timeit(taa_f32, img, idx)
+    results["flat"] = timeit(flat, img, idx)
+    results["taa_pad16"] = timeit(taa_pad16, img, idx)
+    results["taa_pad128"] = timeit(taa_pad128, img, idx)
+
+    # Pallas: per-batch grid; image block in VMEM; idx chunks DMA'd to SMEM;
+    # fori_loop of per-row dynamic slices.
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel3(idx_ref, img_ref, out_ref):
+            def row_body(r, _):
+                out_ref[0, pl.ds(r, 1), :] = img_ref[0, pl.ds(idx_ref[0, r, 0], 1), :]
+                return 0
+
+            jax.lax.fori_loop(0, hw, row_body, 0)
+
+        @jax.jit
+        def pallas_loop3(img, idx):
+            return pl.pallas_call(
+                kernel3,
+                out_shape=jax.ShapeDtypeStruct((b, hw, c), img.dtype),
+                grid=(b,),
+                in_specs=[
+                    pl.BlockSpec((1, hw, 1), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, src_n, c), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            )(idx, img)
+
+        try:
+            results["pallas_loop"] = timeit(pallas_loop3, img, idx)
+        except Exception as e:  # noqa: BLE001
+            results["pallas_loop"] = f"FAIL {type(e).__name__}: {str(e)[:160]}"
+    except Exception as e:  # noqa: BLE001
+        results["pallas"] = f"FAIL {str(e)[:160]}"
+
+    print(f"rows={n_rows} ({b}x{h}x{w}, {c}ch)")
+    for k, v in results.items():
+        if isinstance(v, float):
+            print(f"  {k:12s} {v:8.2f} ms   {v * 1e6 / n_rows:6.2f} ns/row")
+        else:
+            print(f"  {k:12s} {v}")
+
+
+if __name__ == "__main__":
+    main()

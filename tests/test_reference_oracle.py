@@ -1,0 +1,179 @@
+"""Parity tests against the ACTUAL reference implementation.
+
+tests/torch_oracle.py re-implements the reference semantics by hand, which
+means a transcription error could hide identically in oracle and
+implementation.  These tests close that hole: they import the reference
+modules themselves (/root/reference/core/networks/model_flow_paper.py,
+core/evaluation/evaluate_flow.py), load this framework's parameters into the
+real ``Model_flow`` via the checkpoint converter, and assert parity of the
+inference flow, the full training loss pack, and the formatted KITTI eval
+string.
+
+The reference assumes CUDA in two spots that these tests neutralize without
+touching its files: ``Tensor.get_device()`` returns -1 on CPU tensors and
+``.to(-1)`` raises (net_utils.py:48), so ``get_device`` is patched to return
+``self.device``; and flowlib imports the absent ``png`` package at module
+scope, so a stub is installed (``read_flow_png`` is never called here).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from unopticalflow_tpu.models import (
+    FlowModelConfig,
+    forward,
+    inference_flow,
+    init_flow_model,
+)
+from unopticalflow_tpu.utils.torch_convert import params_to_torch_state_dict
+
+RNG = np.random.RandomState(7)
+CFG = FlowModelConfig(num_scales=3)
+
+
+@pytest.fixture(scope="module")
+def reference():
+    """Import the reference package (read-only) and patch its CUDA-isms."""
+    # Stub absent packages the reference imports at module scope but that the
+    # code paths under test never touch: flowlib does `import png` (pypng) and
+    # evaluation_utils does `import skimage.io` (scikit-image).
+    for name in ("png", "skimage", "skimage.io"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.path.insert(0, "/root/reference")
+    orig_get_device = torch.Tensor.get_device
+    torch.Tensor.get_device = lambda self: self.device
+    # The reference targets torch 1.2, where grid_sample defaulted to
+    # align_corners=True; since torch 1.3 the default is False, so running
+    # the unmodified reference under the installed torch 2.13 would silently
+    # change the published warp semantics.  Restore the 1.2 default.
+    orig_grid_sample = torch.nn.functional.grid_sample
+
+    def _grid_sample_12(input, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=None):
+        if align_corners is None:
+            align_corners = True
+        return orig_grid_sample(input, grid, mode=mode,
+                                padding_mode=padding_mode,
+                                align_corners=align_corners)
+
+    torch.nn.functional.grid_sample = _grid_sample_12
+    try:
+        from core.networks.model_flow_paper import Model_flow
+        from core.evaluation.evaluate_flow import eval_flow_avg
+
+        yield types.SimpleNamespace(
+            Model_flow=Model_flow, eval_flow_avg=eval_flow_avg
+        )
+    finally:
+        torch.Tensor.get_device = orig_get_device
+        torch.nn.functional.grid_sample = orig_grid_sample
+        sys.path.remove("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_flow_model(jax.random.PRNGKey(11))
+
+
+@pytest.fixture(scope="module")
+def ref_model(reference, params):
+    cfg = types.SimpleNamespace(
+        mode="flow",
+        dataset="kitti_depth",
+        num_scales=3,
+        h_flow_consist_alpha=3,
+        h_flow_consist_beta=0.05,
+    )
+    model = reference.Model_flow(cfg)
+    sd = {
+        k: torch.from_numpy(np.asarray(v))
+        for k, v in params_to_torch_state_dict(params).items()
+    }
+    model.load_state_dict(sd, strict=True)
+    model.eval()
+    return model
+
+
+def test_state_dict_covers_reference_exactly(reference, params):
+    """Converter output loads strict=True: key sets match bit-for-bit."""
+    cfg = types.SimpleNamespace(
+        mode="flow", dataset="kitti_depth", num_scales=3,
+        h_flow_consist_alpha=3, h_flow_consist_beta=0.05,
+    )
+    model = reference.Model_flow(cfg)
+    sd = params_to_torch_state_dict(params)
+    assert set(sd) == set(model.state_dict().keys())
+
+
+def test_inference_flow_parity_vs_reference(ref_model, params):
+    """inference_flow == reference Model_flow.inference_flow (:198-202)."""
+    h, w = 64, 128  # divisible by 64 (the 6-level pyramid's constraint)
+    img1 = RNG.rand(1, h, w, 3).astype(np.float32)
+    img2 = RNG.rand(1, h, w, 3).astype(np.float32)
+    got = np.asarray(inference_flow(params, CFG, jnp.asarray(img1), jnp.asarray(img2)))
+    with torch.no_grad():
+        want = ref_model.inference_flow(
+            torch.from_numpy(img1.transpose(0, 3, 1, 2)),
+            torch.from_numpy(img2.transpose(0, 3, 1, 2)),
+        )
+    want = want.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_loss_pack_parity_vs_reference(ref_model, params):
+    """Full training loss pack == reference Model_flow.forward (:205-255)."""
+    h, w = 64, 64
+    images = RNG.rand(2, 3 * h, w, 3).astype(np.float32)
+    pack = forward(params, CFG, jnp.asarray(images))
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(images.transpose(0, 3, 1, 2)))
+    for k in ("loss_pixel", "loss_ssim", "loss_flow_smooth", "loss_flow_consis"):
+        got = np.asarray(pack[k])
+        ref = want[k].numpy()
+        assert got.shape == ref.shape == (2,), k
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-4, err_msg=k)
+
+
+def _synthetic_eval_case(n=4, gt_hw=(37, 61), img_hw=(32, 64)):
+    """Random predictions + KITTI-format GT triples for both eval fns."""
+    rng = np.random.RandomState(3)
+    gt_flows, noc_masks, preds, moving = [], [], [], []
+    for _ in range(n):
+        h, w = gt_hw
+        gt = np.zeros((h, w, 3), np.float32)
+        gt[:, :, 0:2] = rng.uniform(-8, 8, (h, w, 2)).astype(np.float32)
+        gt[:, :, 2] = (rng.rand(h, w) > 0.3).astype(np.float32)
+        noc = gt[:, :, 2] * (rng.rand(h, w) > 0.4).astype(np.float32)
+        pred = rng.uniform(-8, 8, (img_hw[0], img_hw[1], 2)).astype(np.float32)
+        gt_flows.append(gt)
+        noc_masks.append(noc)
+        preds.append(pred)
+        moving.append((rng.rand(h, w) > 0.5).astype(np.float32))
+    return gt_flows, noc_masks, preds, moving
+
+
+@pytest.mark.parametrize("with_moving", [False, True])
+def test_eval_flow_avg_string_parity(reference, with_moving):
+    """Formatted KITTI metric string is byte-identical to the reference's.
+
+    This is the north-star proxy for real-data EPE: identical predictions and
+    GT through both pipelines (vector rescale + cv2.resize + EPE/outlier
+    accumulation, reference evaluate_flow.py:93-174) must produce the same
+    formatted result string byte-for-byte.
+    """
+    from unopticalflow_tpu.evaluation.evaluate_flow import eval_flow_avg
+
+    gt_flows, noc_masks, preds, moving = _synthetic_eval_case()
+    cfg = types.SimpleNamespace(img_hw=(32, 64), model_dir="/tmp")
+    kw = {"moving_masks": moving} if with_moving else {}
+    got = eval_flow_avg(gt_flows, noc_masks, preds, cfg, **kw)
+    want = reference.eval_flow_avg(gt_flows, noc_masks, preds, cfg, **kw)
+    assert got == want
