@@ -62,6 +62,94 @@ def test_kitti_2015(cfg, infer_fn, gt_flows, noc_masks, gt_masks, depth_save_dir
     return res
 
 
+def test_sintel_flow(cfg, infer_fn, sintel_dir, passes=("clean", "final")):
+    """EPE eval on the MPI-Sintel training set, per render pass.
+
+    Completes the Sintel surface the reference leaves open (it trains on
+    sintel_raw but ships no Sintel eval); uses the same vector-rescale +
+    cv2.resize + EPE pipeline as the KITTI tasks (eval_flow_avg).  Images are
+    read with cv2 (BGR) to match the training preprocessing.
+    """
+    import cv2
+
+    from unopticalflow_tpu.evaluation import eval_flow_avg, load_gt_flow_sintel
+
+    h, w = cfg.img_hw
+    results = {}
+    for pass_name in passes:
+        gt_flows, noc_masks, pairs = load_gt_flow_sintel(sintel_dir, pass_name)
+        if not gt_flows:
+            print(f"[EVAL] [SINTEL {pass_name}] no frames found, skipping")
+            continue
+        flow_list = []
+        for p1, p2 in pairs:
+            imgs = [
+                cv2.resize(cv2.imread(p), (w, h)).astype(np.float32) / 255.0
+                for p in (p1, p2)
+            ]
+            flow_list.append(_pair_flow(infer_fn, np.concatenate(imgs, 0)))
+        res = eval_flow_avg(gt_flows, noc_masks, flow_list, cfg, write_img=False)
+        print(f"CONFIG: {cfg.config_file}, mode: {cfg.mode}")
+        print(f"[EVAL] [SINTEL {pass_name}] ({len(flow_list)} pairs)")
+        print(res)
+        results[pass_name] = res
+    return results
+
+
+def test_kitti_odo(cfg, pose_fn, seq_dir, result_txt):
+    """PoseNet odometry over an image sequence -> KITTI-format pose file.
+
+    Chains per-pair relative poses (``pose_fn(img_t, img_t+1)`` maps frame
+    t+1 camera points into frame t, ops/geometry.py::pose_vec2mat) into
+    camera-to-world matrices and writes one 3x4 row-major line per frame —
+    the format ``evaluation/eval_odom.py --result_txt`` consumes.  Monocular
+    scale is unresolved (unit-norm translations); eval_odom's alignment
+    handles scale.
+    """
+    import cv2
+
+    import numpy as np
+
+    from unopticalflow_tpu.ops.geometry import pose_vec2mat
+
+    img_dir = os.path.join(seq_dir, "image_2")
+    if not os.path.isdir(img_dir):
+        img_dir = seq_dir
+    names = sorted(
+        n for n in os.listdir(img_dir) if n.endswith((".png", ".jpg"))
+    )
+    if len(names) < 2:
+        raise ValueError(f"need >= 2 frames in {img_dir}")
+    h, w = cfg.img_hw
+
+    def load(n):
+        img = cv2.imread(os.path.join(img_dir, n))
+        return cv2.resize(img, (w, h)).astype(np.float32)[None] / 255.0
+
+    t_wc = np.eye(4)
+    lines = [" ".join(f"{v:.6e}" for v in t_wc[:3].reshape(-1))]
+    prev = load(names[0])
+    for n in names[1:]:
+        cur = load(n)
+        pose = np.asarray(pose_fn(prev, cur))  # (1, 6), cam_cur -> cam_prev
+        rel = np.eye(4)
+        rel[:3] = np.asarray(pose_vec2mat(pose))[0]
+        # normalize translation: monocular scale is unobservable
+        norm = np.linalg.norm(rel[:3, 3])
+        if norm > 1e-8:
+            rel[:3, 3] /= norm
+        t_wc = t_wc @ rel
+        lines.append(" ".join(f"{v:.6e}" for v in t_wc[:3].reshape(-1)))
+        prev = cur
+    os.makedirs(os.path.dirname(os.path.abspath(result_txt)), exist_ok=True)
+    with open(result_txt, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"odometry: {len(lines)} poses -> {result_txt}")
+    print("evaluate with: python -m unopticalflow_tpu.evaluation.eval_odom "
+          f"--gt_txt <gt poses> --result_txt {result_txt}")
+    return result_txt
+
+
 def test_single_pair(cfg, infer_fn, img1_path, img2_path, save_dir="./"):
     """Flow demo on one image pair: saves the color-wheel visualization."""
     import cv2
@@ -86,7 +174,15 @@ def build_arg_parser():
                    help="accepted for reference-CLI compatibility.")
     p.add_argument("--mode", type=str, default="flow")
     p.add_argument("--task", type=str, default="kitti_flow",
-                   help="kitti_flow | demo (flow pair)")
+                   help="kitti_flow | sintel_flow | demo (flow pair)")
+    p.add_argument("--sintel_dir", type=str, default=None,
+                   help="MPI-Sintel training/ dir for --task sintel_flow "
+                        "(defaults to the yaml's sintel_training_dir)")
+    p.add_argument("--seq_dir", type=str, default=None,
+                   help="odometry sequence dir (with image_2/) for "
+                        "--task kitti_odo")
+    p.add_argument("--result_txt", type=str, default=None,
+                   help="output pose file for --task kitti_odo")
     p.add_argument("--image_path", type=str, default=None)
     p.add_argument("--image_path2", type=str, default=None)
     p.add_argument("--pretrained_model", type=str, default=None)
@@ -112,11 +208,11 @@ if __name__ == "__main__":
     from unopticalflow_tpu.models import FlowModelConfig, get_model, inference_flow
     from unopticalflow_tpu.utils import checkpoint as ckpt
 
-    if args.mode != "flow":
+    if args.mode not in ("flow", "flowposenet"):
         raise ValueError(
-            f"mode '{args.mode}' is not runnable: the reference's depth/"
-            "flowposenet classes do not exist (its test.py:236-242 raises "
-            "NameError) — only --mode flow is supported."
+            f"mode '{args.mode}' is not runnable: the reference's depth "
+            "classes do not exist (its test.py:236-242 raises NameError) — "
+            "only --mode flow / flowposenet are supported."
         )
 
     from unopticalflow_tpu.utils.platform import resolve_pallas
@@ -127,17 +223,40 @@ if __name__ == "__main__":
         compute_dtype=args.precision,
         use_pallas_corr=use_pallas,
     )
-    params = get_model("flow")(jax.random.PRNGKey(0))
+    params = get_model(args.mode)(jax.random.PRNGKey(0))
     if args.pretrained_model:
         _, params = ckpt.load_pretrained(args.pretrained_model, params)
         print("Model Loaded.")
 
-    infer = jax.jit(lambda i1, i2: inference_flow(params, model_cfg, i1, i2))
+    flow_params = params["flow"] if args.mode == "flowposenet" else params
+    infer = jax.jit(lambda i1, i2: inference_flow(flow_params, model_cfg, i1, i2))
 
     if args.task == "kitti_flow":
         gt_flows_2015, noc_masks_2015 = load_gt_flow_kitti(cfg.gt_2015_dir, "kitti_2015")
         gt_masks_2015 = load_gt_mask(cfg.gt_2015_dir)
         test_kitti_2015(cfg, infer, gt_flows_2015, noc_masks_2015, gt_masks_2015)
+    elif args.task == "kitti_odo":
+        if args.mode != "flowposenet":
+            raise ValueError("--task kitti_odo needs --mode flowposenet")
+        if not args.seq_dir:
+            raise ValueError("--task kitti_odo needs --seq_dir")
+        from unopticalflow_tpu.models import inference_pose
+
+        pose_fn = jax.jit(
+            lambda i1, i2: inference_pose(params, model_cfg, i1, i2)
+        )
+        out = args.result_txt or os.path.join(
+            args.result_dir or ".", "odometry_result.txt"
+        )
+        test_kitti_odo(cfg, pose_fn, args.seq_dir, out)
+    elif args.task == "sintel_flow":
+        sintel_dir = args.sintel_dir or cfg.get("sintel_training_dir")
+        if not sintel_dir:
+            raise ValueError(
+                "--task sintel_flow needs --sintel_dir or a "
+                "sintel_training_dir yaml key"
+            )
+        test_sintel_flow(cfg, infer, sintel_dir)
     elif args.task == "demo":
         if not (args.image_path and args.image_path2):
             raise ValueError("--task demo needs --image_path and --image_path2")

@@ -19,3 +19,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent XLA compile cache: the CI host has ONE core, and full-model CPU
+# compiles dominate suite wall time (14+ min cold).  With the cache warm the
+# suite reruns in a fraction of that; entries key on HLO + jaxlib version so
+# staleness self-invalidates.
+jax.config.update("jax_compilation_cache_dir", "/tmp/unflow_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -154,6 +154,7 @@ def train(cfg):
         dataset = KITTI_Prepared(
             data_dir, num_scales=cfg.num_scales, img_hw=cfg.img_hw,
             num_iterations=n_samples, cache_dir=cache_dir,
+            return_intrinsics=(cfg.mode == "flowposenet"),
         )
     elif cfg.dataset == "sintel_raw":
         dataset = SINTEL_Prepared(
@@ -187,11 +188,16 @@ def train(cfg):
         mesh = data_parallel_mesh()
         batch_sharding = NamedSharding(mesh, P("data"))
         print(f"data-parallel mesh over {mesh.devices.size} devices")
-    step_fn = make_train_step(model_cfg, loss_weights, lr=cfg.lr, mesh=mesh)
+    step_fn = make_train_step(
+        model_cfg, loss_weights, lr=cfg.lr, mesh=mesh, mode=cfg.mode,
+        snippet_frames=getattr(dataset, "num_frames", 3),
+    )
 
-    # compiled once; evals pass the current params explicitly
+    # compiled once; evals pass the current params explicitly.  In the joint
+    # flow+pose mode the flow branch lives under the "flow" subtree.
+    flow_params = (lambda p: p["flow"]) if cfg.mode == "flowposenet" else (lambda p: p)
     infer_jit = jax.jit(
-        lambda params, i1, i2: inference_flow(params, model_cfg, i1, i2)
+        lambda params, i1, i2: inference_flow(flow_params(params), model_cfg, i1, i2)
     )
 
     def save(iteration):
@@ -219,6 +225,10 @@ def train(cfg):
             visualizer.dump_log(os.path.join(cfg.model_dir, "log.pkl"))
 
         iter_ = iter_ + cfg.iter_start
+        if cfg.mode == "flowposenet" and cfg.dataset == "nyuv2":
+            # NYU returns multiscale intrinsics; the pose branch needs scale 0
+            imgs, k_ms, k_inv_ms = inputs
+            inputs = (imgs, k_ms[:, 0], k_inv_ms[:, 0])
         state, metrics = step_fn(state, inputs)
         if iter_ % cfg.log_interval == 0:
             visualizer.print_loss(

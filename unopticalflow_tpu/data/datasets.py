@@ -64,12 +64,23 @@ class StackedFrameDataset:
         img_hw=(256, 832),
         num_iterations=None,
         cache_dir=None,
+        return_intrinsics=False,
     ):
         self.data_dir = data_dir
         self.num_scales = num_scales
         self.img_hw = tuple(img_hw)
         self.num_iterations = num_iterations
         self.cache_dir = cache_dir
+        # flowposenet mode: __getitem__ returns (img, K, K_inv) at network
+        # resolution.  Horizontal-flip augmentation is disabled in this mode —
+        # a flip mirrors the principal point and negates flow-u, which would
+        # silently falsify the epipolar geometry.
+        self.return_intrinsics = return_intrinsics
+        if return_intrinsics and not self.has_intrinsics:
+            raise ValueError(
+                f"{type(self).__name__} has no calibration files; flowposenet "
+                "needs a dataset with intrinsics"
+            )
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
         self.data_list = self.get_data_list(os.path.join(data_dir, "train.txt"))
@@ -169,14 +180,47 @@ class StackedFrameDataset:
         os.replace(tmp, cache)  # atomic publish; losers just overwrite equal bytes
         return img
 
+    def _orig_frame_wh(self, image_file):
+        """(W, H-per-frame) of the stacked source PNG, from its IHDR header."""
+        if not hasattr(self, "_wh_cache"):
+            self._wh_cache = {}
+        if image_file not in self._wh_cache:
+            with open(image_file, "rb") as f:
+                head = f.read(24)
+            w = int.from_bytes(head[16:20], "big")
+            h = int.from_bytes(head[20:24], "big")
+            self._wh_cache[image_file] = (w, h // self.num_frames)
+        return self._wh_cache[image_file]
+
+    def sample_intrinsics(self, idx):
+        """Per-sample (K, K_inv) rescaled to the network resolution.
+
+        NOTE: the reference's ``rescale_intrinsics`` (kitti_prepared.py:111)
+        scales the x row by the HEIGHT ratio and vice versa; that code is dead
+        there (intrinsics are never returned).  This live path scales
+        correctly: fx/cx by W, fy/cy by H.
+        """
+        data = self.data_list[idx]
+        K = self.read_cam_intrinsic(data["cam_intrinsic_file"]).copy()
+        ow, oh = self._orig_frame_wh(data["image_file"])
+        K[0, :] *= self.img_hw[1] / ow
+        K[1, :] *= self.img_hw[0] / oh
+        return K.astype(np.float32), np.linalg.inv(K).astype(np.float32)
+
     def __getitem__(self, idx):
-        """Returns (num_frames*H, W, 3) float32 in [0, 1]."""
+        """Returns (num_frames*H, W, 3) float32 in [0, 1];
+        with ``return_intrinsics``: (img, K (3,3), K_inv (3,3))."""
         rng = None
         if self.num_iterations is not None:
             if idx >= self.num_iterations:
                 raise IndexError(idx)
             idx, rng = self.rand_num(idx)
-        img = _maybe_flip(self._resized_uint8(idx), rng or np.random)
+        raw = self._resized_uint8(idx)
+        if self.return_intrinsics:  # no flip: it would falsify the geometry
+            img = np.ascontiguousarray(raw, dtype=np.float32) / 255.0
+            K, K_inv = self.sample_intrinsics(idx)
+            return img, K, K_inv
+        img = _maybe_flip(raw, rng or np.random)
         return np.ascontiguousarray(img, dtype=np.float32) / 255.0
 
 

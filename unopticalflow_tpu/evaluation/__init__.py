@@ -3,6 +3,7 @@
 from unopticalflow_tpu.evaluation.evaluate_flow import (
     eval_flow_avg,
     load_gt_flow_kitti,
+    load_gt_flow_sintel,
     get_scaled_intrinsic_matrix,
 )
 from unopticalflow_tpu.evaluation.evaluate_mask import eval_mask, load_gt_mask
@@ -11,6 +12,7 @@ from unopticalflow_tpu.evaluation.evaluate_depth import eval_depth
 __all__ = [
     "eval_flow_avg",
     "load_gt_flow_kitti",
+    "load_gt_flow_sintel",
     "get_scaled_intrinsic_matrix",
     "eval_mask",
     "load_gt_mask",

@@ -175,3 +175,54 @@ def eval_flow_avg(
     return header + ("{:10.4f}, " * 3 + "{:10.4f} \n").format(
         error / num, error_noc / num, error_occ / num, error_rate / num
     )
+
+
+def load_gt_flow_sintel(training_dir: str, pass_name: str = "clean"):
+    """Walk an MPI-Sintel ``training/`` tree and collect GT + image pairs.
+
+    The reference ships no Sintel eval harness (it only trains on
+    ``sintel_raw``); this completes that surface using the same metric
+    pipeline as KITTI.  GT ``.flo`` fields (flow frame N -> N+1) live in
+    ``training/flow/<scene>/frame_####.flo`` and pair with
+    ``training/<pass>/<scene>/frame_####.png`` / ``frame_####+1.png``.
+    ``training/occlusions`` masks, when present, define the noc split
+    (noc = 1 - occluded); otherwise every pixel counts as non-occluded.
+
+    Returns:
+        (gt_flows, noc_masks, image_pairs): gt_flows are (H, W, 3) with an
+        all-ones validity channel (Sintel GT is dense), matching the
+        ``eval_flow_avg`` input convention; image_pairs are path tuples.
+    """
+    import cv2
+
+    from unopticalflow_tpu.evaluation.flowlib import read_flow
+
+    flow_root = os.path.join(training_dir, "flow")
+    img_root = os.path.join(training_dir, pass_name)
+    occ_root = os.path.join(training_dir, "occlusions")
+    gt_flows, noc_masks, pairs = [], [], []
+    if not os.path.isdir(flow_root) or not os.path.isdir(img_root):
+        return gt_flows, noc_masks, pairs
+    for scene in sorted(os.listdir(flow_root)):
+        scene_dir = os.path.join(flow_root, scene)
+        for fname in sorted(os.listdir(scene_dir)):
+            if not fname.endswith(".flo"):
+                continue
+            num = int(fname[:-4].split("_")[-1])
+            img1 = os.path.join(img_root, scene, f"frame_{num:04d}.png")
+            img2 = os.path.join(img_root, scene, f"frame_{num + 1:04d}.png")
+            if not (os.path.exists(img1) and os.path.exists(img2)):
+                continue
+            gt = read_flow(os.path.join(scene_dir, fname)).astype(np.float32)
+            h, w = gt.shape[:2]
+            gt_flows.append(
+                np.concatenate([gt[:, :, :2], np.ones((h, w, 1), np.float32)], 2)
+            )
+            occ_path = os.path.join(occ_root, scene, f"frame_{num:04d}.png")
+            if os.path.exists(occ_path):
+                occ = (cv2.imread(occ_path, 0) > 127).astype(np.float32)
+                noc_masks.append(1.0 - occ)
+            else:
+                noc_masks.append(np.ones((h, w), np.float32))
+            pairs.append((img1, img2))
+    return gt_flows, noc_masks, pairs

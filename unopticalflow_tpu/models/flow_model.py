@@ -95,16 +95,20 @@ def inference_flow(params, cfg: FlowModelConfig, img1, img2):
     return _decode(params, cfg, f1, f2, img_hw)[0].astype(jnp.float32)
 
 
-def forward(params, cfg: FlowModelConfig, images):
+def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
     """Training forward pass -> loss pack (model_flow_paper.py:205-255).
 
     Args:
         images: (B, 3*H, W, 3) vertically stacked frame triplet
             (prev, center, next), values in [0, 1].
+        return_aux: also return intermediate flows/weights (used by the
+            flow+pose joint branch, models/flowpose_model.py).
 
     Returns:
         dict of per-sample (B,) float32 losses:
         loss_pixel, loss_ssim, loss_flow_smooth, loss_flow_consis.
+        With ``return_aux``: (pack, {"flows": [...(2B,h,w,2) packed
+        [bwd; fwd], finest first], "weights": [...(2B,h,w,1)]}).
     """
     b = images.shape[0]
     img_h = images.shape[1] // 3
@@ -161,4 +165,6 @@ def forward(params, cfg: FlowModelConfig, images):
             flows_fwd, flows_bwd, w_fwd, ns
         ),
     }
+    if return_aux:
+        return loss_pack, {"flows": flows, "weights": weights}
     return loss_pack

@@ -1,0 +1,203 @@
+"""Flow + pose joint training (``--mode flowposenet``).
+
+The reference declares this mode but ships no implementation — its
+``Model_flowposenet`` class does not exist and ``test.py:236-242`` raises
+NameError (SURVEY.md §3.2).  This module completes the declared capability
+(BASELINE config 5: joint training via odo.yaml / nyu_posenet_192.yaml plus
+odometry eval) with a design that needs no depth network:
+
+The flow branch is the unchanged occlusion-aware ``Model_flow`` stack.  The
+pose branch is a 6-DoF PoseNet (models/pose_net.py) supervised by the flow
+itself through the epipolar constraint: predicted correspondences
+``p -> p + flow(p)`` must lie on the epipolar lines of the predicted pose, so
+``loss_pose_epipolar`` is the occlusion-weighted mean Sampson distance under
+F(pose, K) — scale-free, as monocular odometry is.  Gradients flow to BOTH
+branches: the pose net learns camera motion, and the flow net receives a
+rigidity prior on non-occluded pixels.
+
+Input: 3-frame snippets (prev, center, next) exactly as flow mode, plus the
+per-sample camera intrinsics; the PoseNet runs batch-packed (2B) over the
+(center, prev) and (center, next) pairs, mirroring the decoder packing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from unopticalflow_tpu.models.flow_model import FlowModelConfig, forward
+from unopticalflow_tpu.models.flow_model import init_flow_model
+from unopticalflow_tpu.models.pose_net import apply_pose_net, init_pose_net
+from unopticalflow_tpu.ops.geometry import (
+    fundamental_from_pose,
+    sampson_epipolar_distance,
+)
+
+
+def init_flowpose_model(key, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {"flow": init_flow_model(k1, dtype), "pose": init_pose_net(k2, dtype)}
+
+
+def epipolar_loss(flow, weight, pose, intrinsics, intrinsics_inv):
+    """Occlusion-weighted mean Sampson distance, per sample.
+
+    Args:
+        flow: (N, H, W, 2) pixel flow frame1 -> frame2.
+        weight: (N, H, W, 1) occlusion weights (1 = trusted match).
+        pose: (N, 6) mapping frame2 points into frame1 (pose_net convention).
+        intrinsics / intrinsics_inv: (N, 3, 3).
+
+    Returns:
+        (N,) float32.
+    """
+    f = fundamental_from_pose(
+        pose.astype(jnp.float32),
+        intrinsics.astype(jnp.float32),
+        intrinsics_inv.astype(jnp.float32),
+    )
+    d = sampson_epipolar_distance(flow.astype(jnp.float32), f)
+    # robustified: sqrt Sampson (a first-order px distance), like the
+    # charbonnier penalties of the photometric stack
+    d = jnp.sqrt(d + 1e-6)
+    w = weight[..., 0].astype(jnp.float32)
+    return jnp.sum(d * w, axis=(1, 2)) / (jnp.sum(w, axis=(1, 2)) + 1e-8)
+
+
+def forward_flowpose(params, cfg: FlowModelConfig, images, intrinsics, intrinsics_inv):
+    """Joint forward -> flow loss pack + ``loss_pose_epipolar``.
+
+    Args:
+        images: (B, 3H, W, 3) stacked (prev, center, next) snippet.
+        intrinsics / intrinsics_inv: (B, 3, 3) at network input resolution.
+    """
+    pack, aux = forward(params["flow"], cfg, images, return_aux=True)
+
+    b = images.shape[0]
+    img_h = images.shape[1] // 3
+    imgl = images[:, :img_h]
+    img = images[:, img_h : 2 * img_h]
+    imgr = images[:, 2 * img_h :]
+
+    # packed (2B): rows [.. (center, prev) ..; .. (center, next) ..] — pose
+    # maps the second frame's points into the center frame, matching the
+    # packed [bwd; fwd] flow layout from the flow branch.
+    pose = apply_pose_net(
+        params["pose"],
+        jnp.concatenate([img, img], 0),
+        jnp.concatenate([imgl, imgr], 0),
+        compute_dtype=cfg.cdtype,
+    )
+
+    k2 = jnp.concatenate([intrinsics, intrinsics], 0)
+    k2_inv = jnp.concatenate([intrinsics_inv, intrinsics_inv], 0)
+    flow0 = aux["flows"][0]  # (2B, H, W, 2), finest scale
+    w0 = aux["weights"][0]  # (2B, H, W, 1)
+    loss2 = epipolar_loss(flow0, w0, pose, k2, k2_inv)
+    pack["loss_pose_epipolar"] = loss2[:b] + loss2[b:]
+    return pack
+
+
+def inference_pose(params, cfg: FlowModelConfig, img1, img2):
+    """(B, H, W, 3) x2 -> (B, 6) pose mapping img2's camera into img1's."""
+    return apply_pose_net(
+        params["pose"], img1, img2, compute_dtype=cfg.cdtype
+    ).astype(jnp.float32)
+
+
+def forward_flowpose_pair(params, cfg: FlowModelConfig, images, intrinsics, intrinsics_inv):
+    """2-frame variant of the joint branch (NYU's 2-frame snippets).
+
+    The reference's NYU pipeline emits 2-frame stacks whose flow mode was
+    never runnable (its train loop calls ``inputs.cuda()`` on the dataset's
+    tuple — SURVEY.md §2.2 quirk).  This defines the 2-frame semantics from
+    first principles: decode both directions between the pair (packed 2B as
+    [f1->f2; f2->f1]), weight photometric terms by the warp validity mask
+    plus a forward-backward occlusion check, and supervise pose on the
+    forward flow's epipolar geometry.
+
+    Args:
+        images: (B, 2H, W, 3) stacked (frame1, frame2).
+    Returns loss pack: pixel/ssim/smooth/consis + pose_epipolar, each (B,).
+    """
+    from unopticalflow_tpu.models import losses
+    from unopticalflow_tpu.models.flow_model import _decode, _encode
+    from unopticalflow_tpu.ops.pyramid import avg_pool_pyramid
+    from unopticalflow_tpu.ops.warp import bilinear_warp
+
+    fp = params["flow"]
+    b = images.shape[0]
+    img_h = images.shape[1] // 2
+    img1 = images[:, :img_h]
+    img2 = images[:, img_h:]
+
+    feats = _encode(fp, cfg, jnp.concatenate([img1, img2], 0))
+    f1 = [f[:b] for f in feats]
+    f2 = [f[b:] for f in feats]
+    feats_src = [jnp.concatenate([a, c], 0) for a, c in zip(f1, f2)]
+    feats_tgt = [jnp.concatenate([c, a], 0) for a, c in zip(f1, f2)]
+    flows = _decode(fp, cfg, feats_src, feats_tgt, (img_h, images.shape[2]))
+    flows = [f.astype(jnp.float32) for f in flows]  # packed [1->2; 2->1]
+
+    num_levels = len(flows)
+    ld = cfg.ldtype
+    pyr1 = avg_pool_pyramid(img1.astype(ld), num_levels)
+    pyr2 = avg_pool_pyramid(img2.astype(ld), num_levels)
+    pyr_tgt = [jnp.concatenate([p2, p1], 0) for p1, p2 in zip(pyr1, pyr2)]
+    pyr_src = [jnp.concatenate([p1, p2], 0) for p1, p2 in zip(pyr1, pyr2)]
+
+    warped = [
+        bilinear_warp(t, f, use_mask=True) for t, f in zip(pyr_tgt, flows)
+    ]
+
+    ns = cfg.num_scales
+    # occlusion/validity weight: border-validity of the warp x SOFT
+    # forward-backward consistency, stop-gradient like the reference's
+    # softmax diff weights (model_flow_paper.py:122).  Soft (exponential in
+    # the fb error) rather than the classic hard UnFlow threshold: at random
+    # init no pixel passes a hard test, which would zero every loss weight
+    # and leave both branches without gradient to bootstrap from.
+    weights = []
+    for s in range(ns):
+        f_ab = flows[s]
+        f_ba = jnp.concatenate([flows[s][b:], flows[s][:b]], 0)
+        back = bilinear_warp(f_ba, f_ab, use_mask=False)
+        sq = jnp.sum((f_ab + back) ** 2, -1, keepdims=True)
+        mag = jnp.sum(f_ab**2 + back**2, -1, keepdims=True)
+        soft = jnp.exp(-sq / (mag + 1.0))
+        valid = 1.0 - jnp.all(warped[s] == 0, -1, keepdims=True).astype(f_ab.dtype)
+        weights.append(jax.lax.stop_gradient(soft * valid).astype(ld))
+
+    diffs = [
+        jnp.mean(jnp.abs(p - w), -1, keepdims=True)
+        for p, w in zip(pyr_src[:ns], warped[:ns])
+    ]
+
+    def halves(v):
+        return v[:b] + v[b:]
+
+    pack = {
+        "loss_pixel": halves(losses.masked_diff_loss(diffs, weights, ns)),
+        "loss_ssim": halves(
+            losses.masked_ssim_loss(pyr_src[:ns], warped, weights, ns)
+        ),
+        "loss_flow_smooth": halves(losses.flow_smooth_loss(flows, pyr_src, ns)),
+        "loss_flow_consis": losses.flow_consistency_loss(
+            [f[:b] for f in flows[:ns]],
+            [f[b:] for f in flows[:ns]],
+            [w[:b] for w in weights],
+            ns,
+        ),
+    }
+
+    pose = apply_pose_net(
+        params["pose"],
+        jnp.concatenate([img1, img2], 0),
+        jnp.concatenate([img2, img1], 0),
+        compute_dtype=cfg.cdtype,
+    )
+    k2 = jnp.concatenate([intrinsics, intrinsics], 0)
+    k2_inv = jnp.concatenate([intrinsics_inv, intrinsics_inv], 0)
+    loss2 = epipolar_loss(flows[0], weights[0], pose, k2, k2_inv)
+    pack["loss_pose_epipolar"] = loss2[:b] + loss2[b:]
+    return pack

@@ -33,6 +33,30 @@ def conv_init(key, in_ch: int, out_ch: int, ksize: int = 3, dtype=jnp.float32):
     return {"w": w, "b": b}
 
 
+def raw_conv(x, w, stride=1, padding=None, dilation=1):
+    """conv_general_dilated with this framework's dtype/precision policy.
+
+    float32 inputs must not be silently truncated to bf16 by the default
+    precision; explicit bf16 compute is requested via compute_dtype instead.
+    For bf16 inputs, the MXU accumulates in fp32 internally; requesting an
+    f32 preferred_element_type there breaks the conv transpose (VJP) rule.
+    """
+    if padding is None:
+        pad = dilation * (w.shape[0] // 2)
+        padding = ((pad, pad), (pad, pad))
+    f32_in = x.dtype == jnp.float32
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if f32_in else None,
+        precision=jax.lax.Precision.HIGHEST if f32_in else jax.lax.Precision.DEFAULT,
+    )
+
+
 def conv_apply(
     p,
     x: jax.Array,
@@ -46,22 +70,7 @@ def conv_apply(
     if compute_dtype is not None:
         w = w.astype(compute_dtype)
         x = x.astype(compute_dtype)
-    pad = dilation * (w.shape[0] // 2)
-    # float32 inputs must not be silently truncated to bf16 by the default
-    # precision; explicit bf16 compute is requested via compute_dtype instead.
-    # For bf16 inputs, the MXU accumulates in fp32 internally; requesting an
-    # f32 preferred_element_type there breaks the conv transpose (VJP) rule.
-    f32_in = x.dtype == jnp.float32
-    out = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride, stride),
-        padding=((pad, pad), (pad, pad)),
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if f32_in else None,
-        precision=jax.lax.Precision.HIGHEST if f32_in else jax.lax.Precision.DEFAULT,
-    )
+    out = raw_conv(x, w, stride=stride, dilation=dilation)
     out = out.astype(x.dtype) + b.astype(x.dtype)
     return out
 

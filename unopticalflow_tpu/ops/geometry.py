@@ -189,3 +189,61 @@ def _sample_normalized(img: jax.Array, coords_norm: jax.Array):
         & (coords_norm[..., 1] >= -1) & (coords_norm[..., 1] <= 1)
     ).astype(img.dtype)[..., None]
     return warped, valid
+
+
+def skew_matrix(t: jax.Array) -> jax.Array:
+    """(B, 3) -> (B, 3, 3) cross-product matrices [t]x."""
+    tx, ty, tz = t[:, 0], t[:, 1], t[:, 2]
+    z = jnp.zeros_like(tx)
+    return jnp.stack(
+        [z, -tz, ty, tz, z, -tx, -ty, tx, z], axis=1
+    ).reshape(-1, 3, 3)
+
+
+def fundamental_from_pose(
+    pose: jax.Array, intrinsics: jax.Array, intrinsics_inv: jax.Array
+) -> jax.Array:
+    """6-DoF pose -> fundamental matrix (B, 3, 3).
+
+    ``pose`` maps points from camera 2 into camera 1 (p1 = R p2 + t, the
+    pose_vec2mat convention above); correspondences then satisfy
+    x1^T F x2 = 0 with F = K^-T [t]x R K^-1.  The translation is normalized
+    to unit length — the epipolar constraint is scale-free (monocular
+    odometry recovers translation only up to scale).
+    """
+    mat = pose_vec2mat(pose)
+    rot, t = mat[:, :, :3], mat[:, :, 3]
+    t = t / (jnp.linalg.norm(t, axis=1, keepdims=True) + 1e-8)
+    essential = skew_matrix(t) @ rot
+    return jnp.swapaxes(intrinsics_inv, 1, 2) @ essential @ intrinsics_inv
+
+
+def sampson_epipolar_distance(flow: jax.Array, fundamental: jax.Array) -> jax.Array:
+    """First-order geometric (Sampson) epipolar distance of flow matches.
+
+    Args:
+        flow: (B, H, W, 2) flow frame1 -> frame2 in pixels; the match for
+            pixel (u, v) is (u + flow_u, v + flow_v).
+        fundamental: (B, 3, 3) with x1^T F x2 = 0.
+
+    Returns:
+        (B, H, W) squared Sampson distance per pixel.
+    """
+    b, h, w, _ = flow.shape
+    dt = flow.dtype
+    u = jnp.arange(w, dtype=dt)[None, None, :]
+    v = jnp.arange(h, dtype=dt)[None, :, None]
+    ones = jnp.ones((b, h, w), dt)
+    x1 = jnp.stack([jnp.broadcast_to(u, (b, h, w)),
+                    jnp.broadcast_to(v, (b, h, w)), ones], axis=-1)
+    x2 = jnp.stack([u + flow[..., 0], v + flow[..., 1], ones], axis=-1)
+    f = fundamental.astype(dt)
+    # Fx2 (epiline in image 1), F^T x1 (epiline in image 2)
+    fx2 = jnp.einsum("bij,bhwj->bhwi", f, x2)
+    ftx1 = jnp.einsum("bji,bhwj->bhwi", f, x1)
+    r = jnp.sum(x1 * fx2, axis=-1)
+    denom = (
+        fx2[..., 0] ** 2 + fx2[..., 1] ** 2
+        + ftx1[..., 0] ** 2 + ftx1[..., 1] ** 2
+    )
+    return (r * r) / (denom + 1e-8)

@@ -28,6 +28,10 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from unopticalflow_tpu.models.flow_model import FlowModelConfig, forward
+from unopticalflow_tpu.models.flowpose_model import (
+    forward_flowpose,
+    forward_flowpose_pair,
+)
 
 
 class TrainState(NamedTuple):
@@ -37,14 +41,24 @@ class TrainState(NamedTuple):
 
 
 def loss_weights_from_config(cfg) -> dict[str, float]:
-    """Config -> loss-weight table (config_utils.py:3-9)."""
+    """Config -> loss-weight table (config_utils.py:3-9).
+
+    In flowposenet mode the table gains the epipolar pose weight
+    (``w_pose_epipolar`` yaml key) — an extension, since the reference never
+    implemented the mode it declares.
+    """
     w_ssim = float(getattr(cfg, "w_ssim", 0.85))
-    return {
+    weights = {
         "loss_pixel": 1.0 - w_ssim,
         "loss_ssim": w_ssim,
         "loss_flow_smooth": float(getattr(cfg, "w_flow_smooth", 10.0)),
         "loss_flow_consis": float(getattr(cfg, "w_flow_consis", 0.01)),
     }
+    if getattr(cfg, "mode", "flow") == "flowposenet":
+        weights["loss_pose_epipolar"] = float(
+            getattr(cfg, "w_pose_epipolar", 1.0)
+        )
+    return weights
 
 
 def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
@@ -57,8 +71,12 @@ def create_train_state(params, lr: float = 1e-4) -> TrainState:
     return TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
 
 
-def _loss_fn(params, model_cfg: FlowModelConfig, weights, images):
-    pack = forward(params, model_cfg, images)
+def _loss_fn(params, model_cfg: FlowModelConfig, weights, batch, mode, snippet_frames):
+    if mode == "flowposenet":
+        fwd = forward_flowpose_pair if snippet_frames == 2 else forward_flowpose
+        pack = fwd(params, model_cfg, *batch)
+    else:
+        pack = forward(params, model_cfg, *batch)
     total = sum(weights[k] * jnp.mean(v) for k, v in pack.items())
     return total, {k: jnp.mean(v) for k, v in pack.items()}
 
@@ -68,18 +86,23 @@ def make_train_step(
     weights: dict[str, float],
     lr: float = 1e-4,
     mesh: Mesh | None = None,
+    mode: str = "flow",
+    snippet_frames: int = 3,
 ):
     """Build the jitted train step.
 
-    Returns ``step_fn(state, images) -> (state, metrics)``; ``images`` is the
-    *global* (B, 3H, W, 3) batch.  With a mesh, the batch axis is sharded over
-    the ``data`` axis and gradients are pmean-reduced; B must divide evenly.
+    Returns ``step_fn(state, batch) -> (state, metrics)``.  ``batch`` is the
+    *global* (B, 3H, W, 3) batch in flow mode, or a tuple
+    ``(images, K, K_inv)`` in flowposenet mode (2-frame NYU snippets use the
+    pair variant via ``snippet_frames=2``).  With a mesh, the batch axes are
+    sharded over the ``data`` axis and gradients are pmean-reduced; B must
+    divide evenly.
     """
     opt = make_optimizer(lr)
 
-    def step_body(state: TrainState, images: jax.Array):
+    def step_body(state: TrainState, *batch):
         (loss, pack), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            state.params, model_cfg, weights, images
+            state.params, model_cfg, weights, batch, mode, snippet_frames
         )
         if mesh is not None:
             grads = jax.lax.pmean(grads, axis_name="data")
@@ -91,35 +114,44 @@ def make_train_step(
         metrics = dict(pack, loss_total=loss)
         return new_state, metrics
 
+    n_batch_args = 3 if mode == "flowposenet" else 1
+
     if mesh is None:
-        return jax.jit(step_body, donate_argnums=(0,))
+        jitted = jax.jit(step_body, donate_argnums=(0,))
+
+        def step_fn(state, batch):
+            batch = batch if isinstance(batch, tuple) else (batch,)
+            return jitted(state, *batch)
+
+        return step_fn
 
     from jax.experimental.shard_map import shard_map
 
     repl = P()
+    data = P("data")
     sharded = shard_map(
         step_body,
         mesh=mesh,
-        in_specs=(repl, P("data")),
+        in_specs=(repl,) + (data,) * n_batch_args,
         out_specs=(repl, repl),
         check_rep=False,
     )
     state_sh = NamedSharding(mesh, repl)
-    batch_sh = NamedSharding(mesh, P("data"))
+    batch_sh = NamedSharding(mesh, data)
 
     step = jax.jit(
         sharded,
-        in_shardings=(state_sh, batch_sh),
+        in_shardings=(state_sh,) + (batch_sh,) * n_batch_args,
         out_shardings=(state_sh, state_sh),
         donate_argnums=(0,),
     )
 
-    @functools.wraps(step)
-    def step_fn(state, images):
-        assert images.shape[0] % mesh.devices.size == 0, (
-            f"global batch {images.shape[0]} must divide the {mesh.devices.size}-"
-            "device data mesh"
+    def step_fn(state, batch):
+        batch = batch if isinstance(batch, tuple) else (batch,)
+        assert batch[0].shape[0] % mesh.devices.size == 0, (
+            f"global batch {batch[0].shape[0]} must divide the "
+            f"{mesh.devices.size}-device data mesh"
         )
-        return step(state, images)
+        return step(state, *batch)
 
     return step_fn
