@@ -98,12 +98,33 @@ def main():
         pad = jnp.pad(img, ((0, 0), (0, 0), (0, 128 - c)))
         return jnp.take_along_axis(pad, idx, axis=1)
 
+    @jax.jit
+    def taa_u32x6(img, idx):
+        # bitcast channel pairs to u32: halves the lane width per row
+        u = jax.lax.bitcast_convert_type(img.reshape(b, src_n, 6, 2), jnp.uint32)
+        out = jnp.take_along_axis(u, idx, axis=1)
+        return jax.lax.bitcast_convert_type(out, jnp.bfloat16).reshape(b, hw, c)
+
+    def make_chunked(k):
+        @jax.jit
+        def taa_chunked(img, idx):
+            parts = [
+                jnp.take_along_axis(img, idx[:, i * (hw // k) : (i + 1) * (hw // k)], axis=1)
+                for i in range(k)
+            ]
+            return jnp.concatenate(parts, axis=1)
+
+        return taa_chunked
+
     results = {}
     results["taa"] = timeit(taa, img, idx)
     results["taa_f32"] = timeit(taa_f32, img, idx)
     results["flat"] = timeit(flat, img, idx)
     results["taa_pad16"] = timeit(taa_pad16, img, idx)
     results["taa_pad128"] = timeit(taa_pad128, img, idx)
+    results["taa_u32x6"] = timeit(taa_u32x6, img, idx)
+    for k in (4, 16):
+        results[f"taa_chunk{k}"] = timeit(make_chunked(k), img, idx)
 
     # Pallas: per-batch grid; image block in VMEM; idx chunks DMA'd to SMEM;
     # fori_loop of per-row dynamic slices.
@@ -111,30 +132,38 @@ def main():
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
+        CHUNK = 2048
+
         def kernel3(idx_ref, img_ref, out_ref):
             def row_body(r, _):
                 out_ref[0, pl.ds(r, 1), :] = img_ref[0, pl.ds(idx_ref[0, r, 0], 1), :]
                 return 0
 
-            jax.lax.fori_loop(0, hw, row_body, 0)
+            jax.lax.fori_loop(0, CHUNK, row_body, 0)
 
         @jax.jit
         def pallas_loop3(img, idx):
+            # grid (b, chunks): idx streams through SMEM in 2048-row blocks
+            # (8 KB); the per-image packed source stays resident in VMEM
+            # across the chunk dimension (index_map depends only on b).
             return pl.pallas_call(
                 kernel3,
                 out_shape=jax.ShapeDtypeStruct((b, hw, c), img.dtype),
-                grid=(b,),
+                grid=(b, hw // CHUNK),
                 in_specs=[
-                    pl.BlockSpec((1, hw, 1), lambda i: (i, 0, 0),
+                    pl.BlockSpec((1, CHUNK, 1), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, src_n, c), lambda i: (i, 0, 0),
+                    pl.BlockSpec((1, src_n, c), lambda i, j: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                out_specs=pl.BlockSpec((1, CHUNK, c), lambda i, j: (i, j, 0),
                                        memory_space=pltpu.VMEM),
             )(idx, img)
 
         try:
+            want = np.asarray(taa(img, idx)[0, :64], np.float32)
+            got = np.asarray(pallas_loop3(img, idx)[0, :64], np.float32)
+            np.testing.assert_allclose(got, want)
             results["pallas_loop"] = timeit(pallas_loop3, img, idx)
         except Exception as e:  # noqa: BLE001
             results["pallas_loop"] = f"FAIL {type(e).__name__}: {str(e)[:160]}"

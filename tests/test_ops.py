@@ -144,3 +144,13 @@ def test_upsample2x_double():
     )
     got = np.asarray(upsample2x_double(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_warp_gather_u32_path_matches():
+    """The u32-bitcast gather path is bit-identical to the bf16 gather."""
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32), jnp.bfloat16)
+    flow = jnp.asarray(rng.uniform(-6, 6, (2, 16, 24, 2)).astype(np.float32))
+    a = bilinear_warp(img, flow, use_mask=True, gather_u32=False)
+    b = bilinear_warp(img, flow, use_mask=True, gather_u32=True)
+    np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))

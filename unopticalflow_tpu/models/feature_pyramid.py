@@ -127,6 +127,10 @@ def apply_feature_pyramid(
         feats.append(_depth_to_space(xp, 2, _LAYERS[1][1]))
         x = _packed_block(params["conv3"], xp, 2, 1, 2, compute_dtype)
         start = 3
+        # NOTE: extending the packing to conv4/conv5 (128-channel cell convs)
+        # was measured SLOWER end-to-end (89.6 vs 90.9 snippets/s): at >=32
+        # channels the canonical convs already tile the MXU adequately and the
+        # 4x structural-zero FLOP inflation dominates.  Packing stops here.
     for i in range(start, len(_LAYERS)):
         _, _, stride = _LAYERS[i]
         x = conv_block(

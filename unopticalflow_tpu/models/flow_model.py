@@ -139,9 +139,12 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
     )
 
     # one warp dispatch per scale for both directions (gathers on TPU are
-    # index-rate-bound; packing halves fixed per-dispatch overhead)
+    # index-rate-bound; packing halves fixed per-dispatch overhead).
+    # gather_u32 is safe here: the pyramid images are stop_gradient'd, so no
+    # VJP ever crosses the gather (see _warp_packed_gather).
     warped_lr = [
-        bilinear_warp(i, f, use_mask=True) for i, f in zip(pyr_lr, flows)
+        bilinear_warp(i, f, use_mask=True, gather_u32=True)
+        for i, f in zip(pyr_lr, flows)
     ]
 
     ns = cfg.num_scales

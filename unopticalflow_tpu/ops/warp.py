@@ -66,7 +66,7 @@ def _corner_weights(img_hw, x, y):
     return corners
 
 
-def _warp_packed_gather(img, corners, img_hw):
+def _warp_packed_gather(img, corners, img_hw, gather_u32=False):
     """Single gather of 2x2 windows packed into channels (best for small C).
 
     Each gathered row on TPU occupies a full 128-lane tile, so gathering
@@ -75,6 +75,12 @@ def _warp_packed_gather(img, corners, img_hw):
     one gather fetch the whole bilinear footprint.  The zero border makes the
     clamped base index reproduce grid_sample's zero padding for partially
     out-of-bounds footprints; fully OOB footprints already have zero weights.
+
+    ``gather_u32``: bitcast bf16 channel pairs to uint32 around the gather —
+    measured ~12% faster per row on v5e (benchmarks/gather_probe.py).  Only
+    valid when no gradient flows to ``img`` through the gather (the loss
+    warps: pyramid images are stop_gradient'd; flow gradients ride the
+    bilinear weights outside) — an integer-typed gather has no VJP.
     """
     h, w = img_hw
     pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -90,8 +96,19 @@ def _warp_packed_gather(img, corners, img_hw):
     y0, x0 = corners[0][0], corners[0][1]
     iy = jnp.clip(y0 + 1, 0, h)
     ix = jnp.clip(x0 + 1, 0, w)
-    four = _gather_hw(packed, iy, ix)  # (B, H, W, 4C)
     c = img.shape[-1]
+    if gather_u32 and img.dtype == jnp.bfloat16 and (4 * c) % 2 == 0:
+        b, hp, wp, c4 = packed.shape
+        u = jax.lax.bitcast_convert_type(
+            packed.reshape(b, hp, wp, c4 // 2, 2), jnp.uint32
+        )
+        four_u = _gather_hw(u.reshape(b, hp, wp, c4 // 2), iy, ix)
+        # u32 -> bf16 bitcast appends a trailing pair dim; fold it back
+        four = jax.lax.bitcast_convert_type(four_u, jnp.bfloat16).reshape(
+            b, iy.shape[1], iy.shape[2], c4
+        )
+    else:
+        four = _gather_hw(packed, iy, ix)  # (B, H, W, 4C)
     out = 0.0
     for k, (_, _, wgt) in enumerate(corners):
         out = out + four[..., k * c : (k + 1) * c] * wgt.astype(img.dtype)[..., None]
@@ -99,7 +116,8 @@ def _warp_packed_gather(img, corners, img_hw):
 
 
 def bilinear_warp(
-    img: jax.Array, flow: jax.Array, use_mask: bool = False
+    img: jax.Array, flow: jax.Array, use_mask: bool = False,
+    gather_u32: bool = False,
 ) -> jax.Array:
     """Warp ``img`` (the *target* frame) back to the source frame by ``flow``.
 
@@ -124,7 +142,7 @@ def bilinear_warp(
     # form (1 gather of 4C-channel rows) beats 4 C-channel gathers at every
     # channel width; its scatter transpose wins identically.
     corners = _corner_weights((h, w), x, y)
-    out = _warp_packed_gather(img, corners, (h, w))
+    out = _warp_packed_gather(img, corners, (h, w), gather_u32=gather_u32)
 
     if use_mask:
         total_w = corners[0][2] + corners[1][2] + corners[2][2] + corners[3][2]
