@@ -42,7 +42,7 @@ def bench_train(batch, img_hw, iters, compute_dtype, use_pallas):
 
     cfg = FlowModelConfig(
         num_scales=3, compute_dtype=compute_dtype, loss_dtype=compute_dtype,
-        use_pallas_corr=use_pallas,
+        use_pallas_corr=use_pallas, use_pallas_photo=use_pallas,
     )
     weights = {
         "loss_pixel": 0.15,
@@ -107,7 +107,7 @@ def bench_infer(batch, img_hw, iters, compute_dtype, use_pallas):
 
     cfg = FlowModelConfig(
         num_scales=3, compute_dtype=compute_dtype, loss_dtype=compute_dtype,
-        use_pallas_corr=use_pallas,
+        use_pallas_corr=use_pallas, use_pallas_photo=use_pallas,
     )
     params = init_flow_model(jax.random.PRNGKey(0))
     h, w = img_hw

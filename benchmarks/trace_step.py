@@ -30,7 +30,7 @@ def run_traced(out_dir, batch, hw, fp32, pallas, steps=3):
     dtype = "float32" if fp32 else "bfloat16"
     h, w = hw
     cfg = FlowModelConfig(num_scales=3, compute_dtype=dtype, loss_dtype=dtype,
-                          use_pallas_corr=pallas)
+                          use_pallas_corr=pallas, use_pallas_photo=pallas)
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(batch, 3 * h, w, 3).astype(np.float32))
     params = init_flow_model(jax.random.PRNGKey(0))

@@ -106,6 +106,7 @@ def train(cfg):
         compute_dtype=precision,
         loss_dtype=cfg.get("loss_precision", None) or precision,
         use_pallas_corr=resolve_pallas(cfg.get("pallas_corr", "auto")),
+        use_pallas_photo=resolve_pallas(cfg.get("pallas_corr", "auto")),
     )
     init_fn = get_model(cfg.mode)
     params = init_fn(jax.random.PRNGKey(cfg.get("seed", 0)))

@@ -41,6 +41,11 @@ class FlowModelConfig(NamedTuple):
     loss_dtype: str = "float32"
     # route cost volumes through the Pallas TPU kernel
     use_pallas_corr: bool = False
+    # route the photometric loss stack (warp blend + occlusion weights +
+    # SSIM + masked reductions) through the fused Pallas kernel
+    # (ops/pallas_photometric.py); falls back to the XLA composition when
+    # the pyramid scales don't tile (H % 32 != 0)
+    use_pallas_photo: bool = False
 
     @property
     def cdtype(self):
@@ -138,19 +143,7 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
         jnp.concatenate([imgl, imgr], 0).astype(ld), num_levels
     )
 
-    # one warp dispatch per scale for both directions (gathers on TPU are
-    # index-rate-bound; packing halves fixed per-dispatch overhead).
-    # gather_u32 is safe here: the pyramid images are stop_gradient'd, so no
-    # VJP ever crosses the gather (see _warp_packed_gather).
-    warped_lr = [
-        bilinear_warp(i, f, use_mask=True, gather_u32=True)
-        for i, f in zip(pyr_lr, flows)
-    ]
-
     ns = cfg.num_scales
-    diffs, weights = losses.diff_and_occlusion_weights_packed(
-        warped_lr, pyr_c, ns
-    )
     pyr_cc = [jnp.concatenate([p, p], 0) for p in pyr_c[:ns]]
 
     def halves(v):  # (2B,) packed [bwd; fwd] -> per-sample (B,) sum
@@ -158,11 +151,52 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
 
     flows_bwd = [f[:b] for f in flows[:ns]]
     flows_fwd = [f[b:] for f in flows[:ns]]
-    w_fwd = [w[b:] for w in weights]
 
+    fused = cfg.use_pallas_photo and all(
+        (img_h >> s) % 8 == 0 for s in range(ns)
+    )
+    if fused:
+        # fused Pallas photometric stack: ONE kernel per scale computes the
+        # warp blend, occlusion weights, masked L1 and SSIM sums; only the
+        # gather (corner fetch) stays in XLA.  The kernel's hand-written VJP
+        # emits d(flow) only — its other inputs carry no gradient by
+        # reference semantics (see ops/pallas_photometric.py).
+        from unopticalflow_tpu.ops.pallas_photometric import photometric_pack
+        from unopticalflow_tpu.ops.warp import warp_corners
+
+        loss_pixel = 0.0
+        loss_ssim = 0.0
+        weights = []
+        for s in range(ns):
+            four_b = warp_corners(pyr_lr[s][:b], flows_bwd[s], gather_u32=True)
+            four_f = warp_corners(pyr_lr[s][b:], flows_fwd[s], gather_u32=True)
+            out = photometric_pack(
+                four_b, four_f, flows_bwd[s], flows_fwd[s], pyr_c[s]
+            )
+            hw = pyr_c[s].shape[1] * pyr_c[s].shape[2]
+            mean_w = out["s_w"] / hw + 1e-12
+            loss_pixel = loss_pixel + (out["s_dw"] / hw) / mean_w
+            loss_ssim = loss_ssim + (out["s_cl"] / hw) / mean_w
+            weights.append(out["weights"])
+    else:
+        # one warp dispatch per scale for both directions (gathers on TPU
+        # are index-rate-bound; packing halves fixed per-dispatch overhead).
+        # gather_u32 is safe here: the pyramid images are stop_gradient'd,
+        # so no VJP ever crosses the gather (see warp.py::_gather_corners).
+        warped_lr = [
+            bilinear_warp(i, f, use_mask=True, gather_u32=True)
+            for i, f in zip(pyr_lr[:ns], flows[:ns])
+        ]
+        diffs, weights = losses.diff_and_occlusion_weights_packed(
+            warped_lr, pyr_c, ns
+        )
+        loss_pixel = losses.masked_diff_loss(diffs, weights, ns)
+        loss_ssim = losses.masked_ssim_loss(pyr_cc, warped_lr, weights, ns)
+
+    w_fwd = [w[b:] for w in weights]
     loss_pack = {
-        "loss_pixel": halves(losses.masked_diff_loss(diffs, weights, ns)),
-        "loss_ssim": halves(losses.masked_ssim_loss(pyr_cc, warped_lr, weights, ns)),
+        "loss_pixel": halves(loss_pixel),
+        "loss_ssim": halves(loss_ssim),
         "loss_flow_smooth": halves(losses.flow_smooth_loss(flows, pyr_cc, ns)),
         "loss_flow_consis": losses.flow_consistency_loss(
             flows_fwd, flows_bwd, w_fwd, ns

@@ -66,7 +66,42 @@ def _corner_weights(img_hw, x, y):
     return corners
 
 
-def _warp_packed_gather(img, corners, img_hw, gather_u32=False):
+def warp_corners(img: jax.Array, flow: jax.Array, gather_u32: bool = False):
+    """Gather the packed 2x2 corner window per output pixel (no blend).
+
+    Returns (B, H, W, 4C) with corner-major channels
+    [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] x C — the input contract of the
+    fused photometric kernel (ops/pallas_photometric.py), which recomputes
+    the bilinear weights from ``flow`` itself.
+    """
+    b, h, w, c = img.shape
+    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    x = gx + flow[..., 0]
+    y = gy + flow[..., 1]
+    corners = _corner_weights((h, w), x, y)
+    return _gather_corners(img, corners, (h, w), gather_u32=gather_u32)
+
+
+def blend_corners(four: jax.Array, flow: jax.Array, img_hw, use_mask=False):
+    """Bilinear blend of warp_corners output (JAX reference composition)."""
+    h, w = img_hw
+    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    x = gx + flow[..., 0]
+    y = gy + flow[..., 1]
+    corners = _corner_weights((h, w), x, y)
+    c = four.shape[-1] // 4
+    out = 0.0
+    for k, (_, _, wgt) in enumerate(corners):
+        out = out + four[..., k * c : (k + 1) * c] * wgt.astype(four.dtype)[..., None]
+    if use_mask:
+        total_w = corners[0][2] + corners[1][2] + corners[2][2] + corners[3][2]
+        out = out * (total_w >= 0.9999).astype(four.dtype)[..., None]
+    return out
+
+
+def _gather_corners(img, corners, img_hw, gather_u32=False):
     """Single gather of 2x2 windows packed into channels (best for small C).
 
     Each gathered row on TPU occupies a full 128-lane tile, so gathering
@@ -109,10 +144,7 @@ def _warp_packed_gather(img, corners, img_hw, gather_u32=False):
         )
     else:
         four = _gather_hw(packed, iy, ix)  # (B, H, W, 4C)
-    out = 0.0
-    for k, (_, _, wgt) in enumerate(corners):
-        out = out + four[..., k * c : (k + 1) * c] * wgt.astype(img.dtype)[..., None]
-    return out
+    return four
 
 
 def bilinear_warp(
@@ -142,7 +174,10 @@ def bilinear_warp(
     # form (1 gather of 4C-channel rows) beats 4 C-channel gathers at every
     # channel width; its scatter transpose wins identically.
     corners = _corner_weights((h, w), x, y)
-    out = _warp_packed_gather(img, corners, (h, w), gather_u32=gather_u32)
+    four = _gather_corners(img, corners, (h, w), gather_u32=gather_u32)
+    out = 0.0
+    for k, (_, _, wgt) in enumerate(corners):
+        out = out + four[..., k * c : (k + 1) * c] * wgt.astype(img.dtype)[..., None]
 
     if use_mask:
         total_w = corners[0][2] + corners[1][2] + corners[2][2] + corners[3][2]
