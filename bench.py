@@ -142,7 +142,7 @@ def bench_infer(batch, img_hw, iters, compute_dtype, use_pallas):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=40)  # 4 windows of 10: median robust to one co-tenant burst
     p.add_argument("--hw", type=int, nargs=2, default=(256, 832))
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--no-pallas", action="store_true",
