@@ -15,7 +15,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from unopticalflow_tpu.models import FlowModelConfig, forward_flowpose, init_flowpose_model
+from unopticalflow_tpu.models import FlowModelConfig, init_flowpose_model
 from unopticalflow_tpu.models.flowpose_model import epipolar_loss
 from unopticalflow_tpu.models.pose_net import apply_pose_net, init_pose_net
 from unopticalflow_tpu.ops.geometry import (
@@ -135,31 +135,15 @@ def test_pose_net_shapes():
     assert float(jnp.abs(pose).max()) < 1.0
 
 
-def test_forward_flowpose_pack_and_grads():
-    params = init_flowpose_model(jax.random.PRNGKey(1))
-    h, w = 64, 64
-    images = jnp.asarray(RNG.rand(1, 3 * h, w, 3).astype(np.float32))
-    K, K_inv = _k_matrices(h, w)
-    cfg = FlowModelConfig(num_scales=3, compute_dtype="bfloat16")
+def test_flowpose_train_step_moves_both_branches():
+    """One full train step: pack contract + gradients reach every parameter.
 
-    def total(p):
-        pack = forward_flowpose(p, cfg, images, jnp.asarray(K), jnp.asarray(K_inv))
-        assert sorted(pack) == [
-            "loss_flow_consis", "loss_flow_smooth", "loss_pixel",
-            "loss_pose_epipolar", "loss_ssim",
-        ]
-        assert all(v.shape == (1,) for v in pack.values())
-        return sum(jnp.mean(v) for v in pack.values())
-
-    grads = jax.grad(total)(params)
-    for branch in ("flow", "pose"):
-        leaves = jax.tree.leaves(grads[branch])
-        assert all(np.isfinite(np.asarray(x)).all() for x in leaves), branch
-        nonzero = sum(float(jnp.sum(jnp.abs(x))) > 0 for x in leaves)
-        assert nonzero == len(leaves), branch
-
-
-def test_flowpose_train_step_runs():
+    Folds what used to be two tests (a jax.grad pass and a train-step pass)
+    into ONE compiled program — each was a separate full-model fwd+bwd
+    compile costing minutes on the 1-core CI host.  A parameter leaf that
+    changed under Adam received a nonzero gradient, so the per-branch delta
+    check subsumes the explicit grad check.
+    """
     from unopticalflow_tpu.training import create_train_state, make_train_step
 
     params = init_flowpose_model(jax.random.PRNGKey(2))
@@ -174,11 +158,26 @@ def test_flowpose_train_step_runs():
     images = jnp.asarray(RNG.rand(2, 3 * h, w, 3).astype(np.float32))
     K, K_inv = _k_matrices(h, w)
     batch = (images, jnp.asarray(np.repeat(K, 2, 0)), jnp.asarray(np.repeat(K_inv, 2, 0)))
-    state, metrics = step(state, batch)
-    assert np.isfinite(float(metrics["loss_total"]))
-    assert np.isfinite(float(metrics["loss_pose_epipolar"]))
-    state, _ = step(state, batch)
-    assert int(state.step) == 2
+    # snapshot before stepping: the state is donated into the step
+    before = {
+        branch: [np.asarray(x) for x in jax.tree.leaves(params[branch])]
+        for branch in ("flow", "pose")
+    }
+    new_state, metrics = step(state, batch)
+    assert sorted(k for k in metrics if k != "loss_total") == [
+        "loss_flow_consis", "loss_flow_smooth", "loss_pixel",
+        "loss_pose_epipolar", "loss_ssim",
+    ]
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    for branch in ("flow", "pose"):
+        after = jax.tree.leaves(new_state.params[branch])
+        moved = sum(
+            float(np.sum(np.abs(np.asarray(a, np.float32) - b))) > 0
+            for a, b in zip(after, before[branch])
+        )
+        assert moved == len(after), branch
+    new_state, _ = step(new_state, batch)
+    assert int(new_state.step) == 2
 
 
 def test_odometry_output_feeds_eval_odom(tmp_path):
