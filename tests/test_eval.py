@@ -140,3 +140,52 @@ def test_odom_pose_loading_and_errors(tmp_path):
     assert len(poses) == 250 and poses[3][2, 3] == 3.0
     errs = calc_sequence_errors(poses, poses)
     assert errs and all(e[1] == 0 and e[2] == 0 for e in errs)
+
+
+def test_flowlib_long_tail(tmp_path):
+    """segment_flow / evaluate_flow(_file) / disp_to_flowfile / warp_image /
+    scale_image / visualize_flow (reference flowlib.py:29-82,166-201,299-440)."""
+    from unopticalflow_tpu.evaluation import flowlib as fl
+
+    rng = np.random.RandomState(0)
+    # segment_flow: pure +x flow is octant 1; zero flow is class 0
+    f = np.zeros((6, 8, 2), np.float32)
+    f[:, :, 0] = 2.0
+    assert set(np.unique(fl.segment_flow(f))) == {1.0}
+    assert set(np.unique(fl.segment_flow(np.zeros((4, 4, 2), np.float32)))) == {0.0}
+
+    # evaluate_flow(_file): EPE of a known offset
+    gt = rng.rand(6, 8, 2).astype(np.float32)
+    pred = gt + np.array([3.0, 4.0], np.float32)
+    np.testing.assert_allclose(fl.evaluate_flow(gt, pred), 5.0, rtol=1e-6)
+    pg, pp = str(tmp_path / "g.flo"), str(tmp_path / "p.flo")
+    fl.write_flow(gt, pg)
+    fl.write_flow(pred, pp)
+    np.testing.assert_allclose(fl.evaluate_flow_file(pg, pp), 5.0, rtol=1e-6)
+
+    # disp_to_flowfile roundtrip: u = disparity, v = 0
+    disp = rng.rand(6, 8).astype(np.float32) * 10
+    df = str(tmp_path / "d.flo")
+    fl.disp_to_flowfile(disp, df)
+    back = fl.read_flow(df)
+    np.testing.assert_allclose(back[:, :, 0], disp, rtol=1e-6)
+    assert np.all(back[:, :, 1] == 0)
+
+    # warp_image: integer-shift flow reproduces the shifted image inside
+    im = np.stack([np.tile(np.arange(16, dtype=np.uint8), (8, 1))] * 3, -1)
+    shift = np.zeros((8, 16, 2), np.float32)
+    shift[:, :, 0] = 2.0
+    out = fl.warp_image(im, shift)
+    np.testing.assert_allclose(out[:, :-2, 0], im[:, 2:, 0])
+
+    # scale_image endpoints
+    np.testing.assert_array_equal(
+        fl.scale_image(np.array([[1.0, 3.0]]), (0, 255)), [[0, 255]]
+    )
+
+    # visualize_flow in both modes returns uint8 HxWx3
+    vis_y = fl.visualize_flow(rng.rand(6, 8, 2).astype(np.float32), "Y")
+    f3 = np.dstack([gt, np.ones((6, 8), np.float32)])
+    vis_rgb = fl.visualize_flow(f3, "RGB")
+    for v in (vis_y, vis_rgb):
+        assert v.shape == (6, 8, 3) and v.dtype == np.uint8

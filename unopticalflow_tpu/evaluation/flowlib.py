@@ -179,3 +179,145 @@ def flow_to_image(flow: np.ndarray) -> np.ndarray:
     img = compute_color(u, v)
     img[unknown] = 0
     return img
+
+
+# ---------------------------------------------------------------------------
+# long-tail utilities (flowlib.py:29-82,166-201,299-440)
+# ---------------------------------------------------------------------------
+
+SMALLFLOW = 0.0
+LARGEFLOW = 1e8
+
+
+def segment_flow(flow: np.ndarray) -> np.ndarray:
+    """Quantize flow directions into 8 angular classes (flowlib.py:166-201).
+
+    Returns an (H, W) float map with labels 0-8: 0 = zero/invalid flow,
+    1-8 = 45-degree direction octants.
+    """
+    u = flow[:, :, 0].copy()
+    v = flow[:, :, 1]
+    idx = (np.abs(u) > LARGEFLOW) | (np.abs(v) > LARGEFLOW)
+    class0 = (v == 0) & (u == 0)
+    u[np.abs(u) == SMALLFLOW] = 0.00001
+    tan_value = v / u
+
+    seg = np.zeros(u.shape)
+    seg[(tan_value < 1) & (tan_value >= 0) & (u > 0) & (v >= 0)] = 1
+    seg[(tan_value >= 1) & (u >= 0) & (v >= 0)] = 2
+    seg[(tan_value < -1) & (u <= 0) & (v >= 0)] = 3
+    seg[(tan_value < 0) & (tan_value >= -1) & (u < 0) & (v >= 0)] = 4
+    seg[(tan_value >= 0) & (tan_value < 1) & (u < 0) & (v <= 0)] = 5
+    seg[(tan_value >= 1) & (u <= 0) & (v <= 0)] = 6
+    seg[(tan_value < -1) & (u >= 0) & (v <= 0)] = 7
+    seg[(tan_value >= -1) & (tan_value < 0) & (u > 0) & (v <= 0)] = 8
+    seg[class0] = 0
+    seg[idx] = 0
+    return seg
+
+
+def evaluate_flow(gt_flow: np.ndarray, pred_flow: np.ndarray) -> float:
+    """Average EPE of two flow arrays (flowlib.py:315-324)."""
+    return flow_error(
+        gt_flow[:, :, 0], gt_flow[:, :, 1],
+        pred_flow[:, :, 0], pred_flow[:, :, 1],
+    )
+
+
+def evaluate_flow_file(gt: str, pred: str) -> float:
+    """Average EPE between two .flo files (flowlib.py:299-313)."""
+    return evaluate_flow(read_flow(gt), read_flow(pred))
+
+
+def disp_to_flowfile(disp: np.ndarray, filename: str) -> None:
+    """Save a disparity map as a .flo file with zero vertical flow
+    (flowlib.py:350-369)."""
+    h, w = disp.shape[:2]
+    flow = np.dstack(
+        [disp.astype(np.float32), np.zeros((h, w), np.float32)]
+    )
+    write_flow(flow, filename)
+
+
+def read_image(filename: str) -> np.ndarray:
+    """Read any image as an RGB uint8 array (flowlib.py:378-387)."""
+    from PIL import Image
+
+    return np.array(Image.open(filename))
+
+
+def warp_image(im: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Backward-warp an image by a flow field (flowlib.py:389-416).
+
+    NOTE: the reference's version is broken — its bounds check
+    ``fx < 0 | fx > w`` applies ``|`` before the comparisons (precedence bug)
+    and it calls ``np.min(np.max(x, 0), w)`` which are reductions, not
+    clamps, so it raises on any real input.  This is a working bilinear
+    re-implementation of its evident intent: sample ``im`` at
+    ``(x + u, y + v)``, clamped to the image, with out-of-bounds pixels
+    set to 1.
+    """
+    h, w = im.shape[:2]
+    iy, ix = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx = ix + flow[:, :, 0]
+    fy = iy + flow[:, :, 1]
+    oob = (fx < 0) | (fx > w - 1) | (fy < 0) | (fy > h - 1)
+    fx = np.clip(fx, 0, w - 1)
+    fy = np.clip(fy, 0, h - 1)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    dx = (fx - x0)[..., None]
+    dy = (fy - y0)[..., None]
+    img = im.astype(np.float64)
+    if img.ndim == 2:
+        img = img[..., None]
+    out = (
+        img[y0, x0] * (1 - dy) * (1 - dx)
+        + img[y0, x1] * (1 - dy) * dx
+        + img[y1, x0] * dy * (1 - dx)
+        + img[y1, x1] * dy * dx
+    )
+    out[oob] = 1.0
+    return out
+
+
+def scale_image(image: np.ndarray, new_range) -> np.ndarray:
+    """Linearly rescale an image into ``new_range`` -> uint8
+    (flowlib.py:428-441)."""
+    image = np.asarray(image, np.float32)
+    lo, hi = float(np.min(image)), float(np.max(image))
+    new_lo, new_hi = float(min(new_range)), float(max(new_range))
+    scaled = (image - lo) / max(hi - lo, 1e-12) * (new_hi - new_lo) + new_lo
+    return scaled.astype(np.uint8)
+
+
+def visualize_flow(flow: np.ndarray, mode: str = "Y") -> np.ndarray:
+    """Render a flow field for display (flowlib.py:41-82); returns the image.
+
+    mode 'Y': Middlebury color wheel; mode 'RGB': hue = angle,
+    saturation = magnitude, using the flow's validity channel if present.
+    """
+    if mode == "Y":
+        return flow_to_image(flow)
+    h, w = flow.shape[:2]
+    du, dv = flow[:, :, 0], flow[:, :, 1]
+    valid = flow[:, :, 2] if flow.shape[2] > 2 else np.ones((h, w))
+    max_flow = max(np.max(du), np.max(dv), 1e-12)
+    img = np.zeros((h, w, 3), np.float64)
+    img[:, :, 0] = np.arctan2(dv, du) / (2 * np.pi) % 1.0
+    img[:, :, 1] = np.sqrt(du * du + dv * dv) * 8 / max_flow
+    img[:, :, 2] = 8 - img[:, :, 1]
+    img[valid == 0] = 0
+    import matplotlib.colors as mcolors
+
+    return (mcolors.hsv_to_rgb(np.clip(img, 0, 1)) * 255).astype(np.uint8)
+
+
+def show_flow(filename: str) -> None:
+    """Display a .flo file with matplotlib (flowlib.py:29-38)."""
+    import matplotlib.pyplot as plt
+
+    plt.imshow(flow_to_image(read_flow(filename)))
+    plt.show()
