@@ -235,3 +235,28 @@ def test_forward_flowpose_pair():
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves), branch
         nonzero = sum(float(jnp.sum(jnp.abs(x))) > 0 for x in leaves)
         assert nonzero == len(leaves), branch
+
+
+def test_flow_pair_forward_and_step():
+    """2-frame flow-only training path (NYU flow mode, an extension the
+    reference never had working)."""
+    from unopticalflow_tpu.models.flow_model import forward_pair, init_flow_model
+    from unopticalflow_tpu.training import create_train_state, make_train_step
+
+    params = init_flow_model(jax.random.PRNGKey(5))
+    h, w = 64, 64
+    images = jnp.asarray(RNG.rand(1, 2 * h, w, 3).astype(np.float32))
+    cfg = FlowModelConfig(num_scales=3, compute_dtype="bfloat16")
+    pack = forward_pair(params, cfg, images)
+    assert sorted(pack) == [
+        "loss_flow_consis", "loss_flow_smooth", "loss_pixel", "loss_ssim"
+    ]
+    assert all(v.shape == (1,) and np.isfinite(np.asarray(v)).all()
+               for v in pack.values())
+
+    weights = {"loss_pixel": 0.15, "loss_ssim": 0.85,
+               "loss_flow_smooth": 10.0, "loss_flow_consis": 0.01}
+    step = make_train_step(cfg, weights, lr=1e-4, mode="flow", snippet_frames=2)
+    state = create_train_state(params, lr=1e-4)
+    state, metrics = step(state, images)
+    assert np.isfinite(float(metrics["loss_total"]))

@@ -226,10 +226,17 @@ def train(cfg):
             visualizer.dump_log(os.path.join(cfg.model_dir, "log.pkl"))
 
         iter_ = iter_ + cfg.iter_start
-        if cfg.mode == "flowposenet" and cfg.dataset == "nyuv2":
-            # NYU returns multiscale intrinsics; the pose branch needs scale 0
+        if cfg.dataset == "nyuv2":
+            # NYU returns (img, K_ms, K_inv_ms); the pose branch needs the
+            # scale-0 intrinsics, plain flow mode only the images.  (The
+            # reference crashed here — `inputs.cuda()` on a tuple; the
+            # 2-frame flow path is an extension, models/flow_model.py::
+            # forward_pair.)
             imgs, k_ms, k_inv_ms = inputs
-            inputs = (imgs, k_ms[:, 0], k_inv_ms[:, 0])
+            inputs = (
+                (imgs, k_ms[:, 0], k_inv_ms[:, 0])
+                if cfg.mode == "flowposenet" else imgs
+            )
         state, metrics = step_fn(state, inputs)
         if iter_ % cfg.log_interval == 0:
             visualizer.print_loss(

@@ -205,3 +205,88 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
     if return_aux:
         return loss_pack, {"flows": flows, "weights": weights}
     return loss_pack
+
+
+def forward_pair(params, cfg: FlowModelConfig, images, return_aux: bool = False):
+    """2-frame training forward pass (extension; no 3-frame center exists).
+
+    The reference's NYU pipeline emits 2-frame stacks whose flow mode was
+    never runnable (its train loop calls ``inputs.cuda()`` on the dataset's
+    tuple — SURVEY.md §2.2 quirk); this defines working 2-frame semantics:
+    decode BOTH directions between the pair (packed 2B as [f1->f2; f2->f1]),
+    and weight the photometric terms by the warp validity mask times a SOFT
+    forward-backward consistency weight.  Soft (exponential in the fb error)
+    rather than the classic hard UnFlow threshold: at random init no pixel
+    passes a hard test, which would zero every loss weight and leave the
+    model without gradient to bootstrap from.
+
+    Args:
+        images: (B, 2H, W, 3) stacked (frame1, frame2), values in [0, 1].
+
+    Returns:
+        loss pack {pixel, ssim, smooth, consis} of per-sample (B,) float32;
+        with ``return_aux``: (pack, {"flows": [... (2B,h,w,2) packed
+        [fwd; bwd]], "weights": [... (2B,h,w,1)]}).
+    """
+    from unopticalflow_tpu.models import losses as _losses
+
+    b = images.shape[0]
+    img_h = images.shape[1] // 2
+    img1 = images[:, :img_h]
+    img2 = images[:, img_h:]
+
+    feats = _encode(params, cfg, jnp.concatenate([img1, img2], 0))
+    f1 = [f[:b] for f in feats]
+    f2 = [f[b:] for f in feats]
+    feats_src = [jnp.concatenate([a, c], 0) for a, c in zip(f1, f2)]
+    feats_tgt = [jnp.concatenate([c, a], 0) for a, c in zip(f1, f2)]
+    flows = _decode(params, cfg, feats_src, feats_tgt, (img_h, images.shape[2]))
+    flows = [f.astype(jnp.float32) for f in flows]  # packed [1->2; 2->1]
+
+    num_levels = len(flows)
+    ld = cfg.ldtype
+    pyr1 = avg_pool_pyramid(img1.astype(ld), num_levels)
+    pyr2 = avg_pool_pyramid(img2.astype(ld), num_levels)
+    pyr_tgt = [jnp.concatenate([p2, p1], 0) for p1, p2 in zip(pyr1, pyr2)]
+    pyr_src = [jnp.concatenate([p1, p2], 0) for p1, p2 in zip(pyr1, pyr2)]
+
+    warped = [
+        bilinear_warp(t, f, use_mask=True) for t, f in zip(pyr_tgt, flows)
+    ]
+
+    ns = cfg.num_scales
+    weights = []
+    for s in range(ns):
+        f_ab = flows[s]
+        f_ba = jnp.concatenate([flows[s][b:], flows[s][:b]], 0)
+        back = bilinear_warp(f_ba, f_ab, use_mask=False)
+        sq = jnp.sum((f_ab + back) ** 2, -1, keepdims=True)
+        mag = jnp.sum(f_ab**2 + back**2, -1, keepdims=True)
+        soft = jnp.exp(-sq / (mag + 1.0))
+        valid = 1.0 - jnp.all(warped[s] == 0, -1, keepdims=True).astype(f_ab.dtype)
+        weights.append(jax.lax.stop_gradient(soft * valid).astype(ld))
+
+    diffs = [
+        jnp.mean(jnp.abs(p - w), -1, keepdims=True)
+        for p, w in zip(pyr_src[:ns], warped[:ns])
+    ]
+
+    def halves(v):
+        return v[:b] + v[b:]
+
+    pack = {
+        "loss_pixel": halves(_losses.masked_diff_loss(diffs, weights, ns)),
+        "loss_ssim": halves(
+            _losses.masked_ssim_loss(pyr_src[:ns], warped, weights, ns)
+        ),
+        "loss_flow_smooth": halves(_losses.flow_smooth_loss(flows, pyr_src, ns)),
+        "loss_flow_consis": _losses.flow_consistency_loss(
+            [f[:b] for f in flows[:ns]],
+            [f[b:] for f in flows[:ns]],
+            [w[:b] for w in weights],
+            ns,
+        ),
+    }
+    if return_aux:
+        return pack, {"flows": flows, "weights": weights}
+    return pack

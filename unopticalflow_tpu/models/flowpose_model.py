@@ -120,75 +120,16 @@ def forward_flowpose_pair(params, cfg: FlowModelConfig, images, intrinsics, intr
         images: (B, 2H, W, 3) stacked (frame1, frame2).
     Returns loss pack: pixel/ssim/smooth/consis + pose_epipolar, each (B,).
     """
-    from unopticalflow_tpu.models import losses
-    from unopticalflow_tpu.models.flow_model import _decode, _encode
-    from unopticalflow_tpu.ops.pyramid import avg_pool_pyramid
-    from unopticalflow_tpu.ops.warp import bilinear_warp
+    from unopticalflow_tpu.models.flow_model import forward_pair
 
-    fp = params["flow"]
     b = images.shape[0]
     img_h = images.shape[1] // 2
     img1 = images[:, :img_h]
     img2 = images[:, img_h:]
 
-    feats = _encode(fp, cfg, jnp.concatenate([img1, img2], 0))
-    f1 = [f[:b] for f in feats]
-    f2 = [f[b:] for f in feats]
-    feats_src = [jnp.concatenate([a, c], 0) for a, c in zip(f1, f2)]
-    feats_tgt = [jnp.concatenate([c, a], 0) for a, c in zip(f1, f2)]
-    flows = _decode(fp, cfg, feats_src, feats_tgt, (img_h, images.shape[2]))
-    flows = [f.astype(jnp.float32) for f in flows]  # packed [1->2; 2->1]
-
-    num_levels = len(flows)
-    ld = cfg.ldtype
-    pyr1 = avg_pool_pyramid(img1.astype(ld), num_levels)
-    pyr2 = avg_pool_pyramid(img2.astype(ld), num_levels)
-    pyr_tgt = [jnp.concatenate([p2, p1], 0) for p1, p2 in zip(pyr1, pyr2)]
-    pyr_src = [jnp.concatenate([p1, p2], 0) for p1, p2 in zip(pyr1, pyr2)]
-
-    warped = [
-        bilinear_warp(t, f, use_mask=True) for t, f in zip(pyr_tgt, flows)
-    ]
-
-    ns = cfg.num_scales
-    # occlusion/validity weight: border-validity of the warp x SOFT
-    # forward-backward consistency, stop-gradient like the reference's
-    # softmax diff weights (model_flow_paper.py:122).  Soft (exponential in
-    # the fb error) rather than the classic hard UnFlow threshold: at random
-    # init no pixel passes a hard test, which would zero every loss weight
-    # and leave both branches without gradient to bootstrap from.
-    weights = []
-    for s in range(ns):
-        f_ab = flows[s]
-        f_ba = jnp.concatenate([flows[s][b:], flows[s][:b]], 0)
-        back = bilinear_warp(f_ba, f_ab, use_mask=False)
-        sq = jnp.sum((f_ab + back) ** 2, -1, keepdims=True)
-        mag = jnp.sum(f_ab**2 + back**2, -1, keepdims=True)
-        soft = jnp.exp(-sq / (mag + 1.0))
-        valid = 1.0 - jnp.all(warped[s] == 0, -1, keepdims=True).astype(f_ab.dtype)
-        weights.append(jax.lax.stop_gradient(soft * valid).astype(ld))
-
-    diffs = [
-        jnp.mean(jnp.abs(p - w), -1, keepdims=True)
-        for p, w in zip(pyr_src[:ns], warped[:ns])
-    ]
-
-    def halves(v):
-        return v[:b] + v[b:]
-
-    pack = {
-        "loss_pixel": halves(losses.masked_diff_loss(diffs, weights, ns)),
-        "loss_ssim": halves(
-            losses.masked_ssim_loss(pyr_src[:ns], warped, weights, ns)
-        ),
-        "loss_flow_smooth": halves(losses.flow_smooth_loss(flows, pyr_src, ns)),
-        "loss_flow_consis": losses.flow_consistency_loss(
-            [f[:b] for f in flows[:ns]],
-            [f[b:] for f in flows[:ns]],
-            [w[:b] for w in weights],
-            ns,
-        ),
-    }
+    pack, aux = forward_pair(params["flow"], cfg, images, return_aux=True)
+    flows = aux["flows"]
+    weights = aux["weights"]
 
     pose = apply_pose_net(
         params["pose"],

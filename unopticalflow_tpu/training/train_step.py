@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from unopticalflow_tpu.models.flow_model import FlowModelConfig, forward
+from unopticalflow_tpu.models.flow_model import (
+    FlowModelConfig,
+    forward,
+    forward_pair,
+)
 from unopticalflow_tpu.models.flowpose_model import (
     forward_flowpose,
     forward_flowpose_pair,
@@ -74,9 +78,9 @@ def create_train_state(params, lr: float = 1e-4) -> TrainState:
 def _loss_fn(params, model_cfg: FlowModelConfig, weights, batch, mode, snippet_frames):
     if mode == "flowposenet":
         fwd = forward_flowpose_pair if snippet_frames == 2 else forward_flowpose
-        pack = fwd(params, model_cfg, *batch)
     else:
-        pack = forward(params, model_cfg, *batch)
+        fwd = forward_pair if snippet_frames == 2 else forward
+    pack = fwd(params, model_cfg, *batch)
     total = sum(weights[k] * jnp.mean(v) for k, v in pack.items())
     return total, {k: jnp.mean(v) for k, v in pack.items()}
 
