@@ -260,3 +260,36 @@ def test_flow_pair_forward_and_step():
     state = create_train_state(params, lr=1e-4)
     state, metrics = step(state, images)
     assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_freeze_flow_trains_pose_only():
+    """--freeze_flow: Adam moves the pose branch, flow stays bit-identical
+    (reference stage-2 semantics, model_flow_paper.py:19-26)."""
+    from unopticalflow_tpu.training import create_train_state, make_train_step
+
+    params = init_flowpose_model(jax.random.PRNGKey(6))
+    state = create_train_state(params, lr=1e-3, freeze_flow=True)
+    cfg = FlowModelConfig(num_scales=3, compute_dtype="bfloat16")
+    weights = {"loss_pixel": 0.15, "loss_ssim": 0.85, "loss_flow_smooth": 10.0,
+               "loss_flow_consis": 0.01, "loss_pose_epipolar": 1.0}
+    step = make_train_step(cfg, weights, lr=1e-3, mode="flowposenet",
+                           freeze_flow=True)
+    h, w = 64, 64
+    images = jnp.asarray(RNG.rand(1, 3 * h, w, 3).astype(np.float32))
+    K, K_inv = _k_matrices(h, w)
+    before = {
+        br: [np.asarray(x) for x in jax.tree.leaves(params[br])]
+        for br in ("flow", "pose")
+    }
+    new_state, _ = step(state, (images, jnp.asarray(K), jnp.asarray(K_inv)))
+    flow_after = jax.tree.leaves(new_state.params["flow"])
+    assert all(
+        np.array_equal(np.asarray(a), b)
+        for a, b in zip(flow_after, before["flow"])
+    )
+    pose_after = jax.tree.leaves(new_state.params["pose"])
+    moved = sum(
+        float(np.sum(np.abs(np.asarray(a, np.float32) - b))) > 0
+        for a, b in zip(pose_after, before["pose"])
+    )
+    assert moved == len(pose_after)

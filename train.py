@@ -64,6 +64,9 @@ def build_arg_parser():
     p.add_argument("--cache_decoded", action="store_true",
                    help="cache decoded+resized frames as uint8 .npy under the "
                         "prepared dir (feeds the chip faster on few-core hosts).")
+    p.add_argument("--freeze_flow", action="store_true",
+                   help="flowposenet: freeze the flow branch and train only "
+                        "the PoseNet (the reference's stage-2 behavior).")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -110,7 +113,8 @@ def train(cfg):
     )
     init_fn = get_model(cfg.mode)
     params = init_fn(jax.random.PRNGKey(cfg.get("seed", 0)))
-    state = create_train_state(params, lr=cfg.lr)
+    freeze_flow = bool(cfg.get("freeze_flow")) and cfg.mode == "flowposenet"
+    state = create_train_state(params, lr=cfg.lr, freeze_flow=freeze_flow)
 
     # resume / warm start (reference train.py:42-75)
     if cfg.resume:
@@ -121,8 +125,17 @@ def train(cfg):
         cfg.iter_start = it
         state = TrainState(jnp.asarray(it, jnp.int32), params, opt_state)
     elif cfg.flow_pretrained_model:
-        _, params = ckpt.load_pretrained(cfg.flow_pretrained_model, state.params)
-        state = create_train_state(params, lr=cfg.lr)
+        if cfg.mode == "flowposenet":
+            # stage-2 warm start (reference train.py:47-75 semantics): the
+            # flow branch loads from a FLOW checkpoint (.ckpt or reference
+            # .pth); the pose branch keeps its fresh init.
+            _, flow_params = ckpt.load_pretrained(
+                cfg.flow_pretrained_model, state.params["flow"]
+            )
+            params = dict(state.params, flow=flow_params)
+        else:
+            _, params = ckpt.load_pretrained(cfg.flow_pretrained_model, state.params)
+        state = create_train_state(params, lr=cfg.lr, freeze_flow=freeze_flow)
         print("Load Flow Pretrained Model from " + cfg.flow_pretrained_model)
 
     loss_weights = loss_weights_from_config(cfg)
@@ -192,6 +205,7 @@ def train(cfg):
     step_fn = make_train_step(
         model_cfg, loss_weights, lr=cfg.lr, mesh=mesh, mode=cfg.mode,
         snippet_frames=getattr(dataset, "num_frames", 3),
+        freeze_flow=freeze_flow,
     )
 
     # compiled once; evals pass the current params explicitly.  In the joint

@@ -65,13 +65,30 @@ def loss_weights_from_config(cfg) -> dict[str, float]:
     return weights
 
 
-def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
-    """Adam with torch-default hyperparameters (train.py:39)."""
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+def make_optimizer(
+    lr: float = 1e-4, freeze_flow: bool = False
+) -> optax.GradientTransformation:
+    """Adam with torch-default hyperparameters (train.py:39).
+
+    ``freeze_flow`` zeroes updates to the ``flow`` branch of a flowposenet
+    param tree — the reference's stage-2 behavior (its Model_flow.__init__
+    sets requires_grad=False on fpyramid/pwc when mode is flowposenet,
+    model_flow_paper.py:19-26).  Joint training is this framework's default;
+    freezing is opt-in via the ``freeze_flow`` config key / CLI flag.
+    """
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if not freeze_flow:
+        return opt
+    return optax.multi_transform(
+        {"train": opt, "frozen": optax.set_to_zero()},
+        lambda params: {
+            k: ("frozen" if k == "flow" else "train") for k in params
+        },
+    )
 
 
-def create_train_state(params, lr: float = 1e-4) -> TrainState:
-    opt = make_optimizer(lr)
+def create_train_state(params, lr: float = 1e-4, freeze_flow: bool = False) -> TrainState:
+    opt = make_optimizer(lr, freeze_flow)
     return TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
 
 
@@ -92,6 +109,7 @@ def make_train_step(
     mesh: Mesh | None = None,
     mode: str = "flow",
     snippet_frames: int = 3,
+    freeze_flow: bool = False,
 ):
     """Build the jitted train step.
 
@@ -102,7 +120,7 @@ def make_train_step(
     sharded over the ``data`` axis and gradients are pmean-reduced; B must
     divide evenly.
     """
-    opt = make_optimizer(lr)
+    opt = make_optimizer(lr, freeze_flow)
 
     def step_body(state: TrainState, *batch):
         (loss, pack), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
