@@ -153,6 +153,11 @@ if __name__ == "__main__":
 
     import jax
 
+    # persistent compile cache: repeat bench invocations skip the multi-minute
+    # remote compile of the train step (entries self-invalidate on version)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/unflow_jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from unopticalflow_tpu.utils.platform import on_tpu
 
     compute_dtype = "float32" if args.fp32 else "bfloat16"
