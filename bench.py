@@ -174,8 +174,14 @@ if __name__ == "__main__":
             "vs_baseline": round(value / 35.0, 2),  # PWC-Net 35 fps on Titan X
         }
     else:
+        default_recipe = tuple(args.hw) == (256, 832) and args.batch == 8
+        metric = (
+            "train snippets/sec/chip (KITTI recipe 256x832, batch 8)"
+            if default_recipe
+            else f"train snippets/sec/chip ({args.hw[0]}x{args.hw[1]}, batch {args.batch})"
+        )
         out = {
-            "metric": "train snippets/sec/chip (KITTI recipe 256x832, batch 8)",
+            "metric": metric,
             "value": round(value, 2),
             "unit": "snippets/s",
             "vs_baseline": round(value / REFERENCE_TRAIN_SNIPPETS_PER_SEC, 2),
