@@ -19,7 +19,6 @@ consis = w_flow_consis.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
