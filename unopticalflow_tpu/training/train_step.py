@@ -146,7 +146,7 @@ def make_train_step(
 
         return step_fn
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     repl = P()
     data = P("data")
@@ -155,7 +155,6 @@ def make_train_step(
         mesh=mesh,
         in_specs=(repl,) + (data,) * n_batch_args,
         out_specs=(repl, repl),
-        check_rep=False,
     )
     state_sh = NamedSharding(mesh, repl)
     batch_sh = NamedSharding(mesh, data)
