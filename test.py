@@ -102,9 +102,11 @@ def test_kitti_odo(cfg, pose_fn, seq_dir, result_txt):
     Chains per-pair relative poses (``pose_fn(img_t, img_t+1)`` maps frame
     t+1 camera points into frame t, ops/geometry.py::pose_vec2mat) into
     camera-to-world matrices and writes one 3x4 row-major line per frame —
-    the format ``evaluation/eval_odom.py --result_txt`` consumes.  Monocular
-    scale is unresolved (unit-norm translations); eval_odom's alignment
-    handles scale.
+    the format ``evaluation/eval_odom.py --result_txt`` consumes.  Relative
+    translations are written RAW: monocular scale is ONE global unknown, and
+    eval_odom's Umeyama Sim(3) alignment recovers exactly that global factor;
+    per-frame unit-norming (an earlier revision) destroys the inter-frame
+    scale *ratios* the network does estimate and caps trajectory accuracy.
     """
     import cv2
 
@@ -134,10 +136,6 @@ def test_kitti_odo(cfg, pose_fn, seq_dir, result_txt):
         pose = np.asarray(pose_fn(prev, cur))  # (1, 6), cam_cur -> cam_prev
         rel = np.eye(4)
         rel[:3] = np.asarray(pose_vec2mat(pose))[0]
-        # normalize translation: monocular scale is unobservable
-        norm = np.linalg.norm(rel[:3, 3])
-        if norm > 1e-8:
-            rel[:3, 3] /= norm
         t_wc = t_wc @ rel
         lines.append(" ".join(f"{v:.6e}" for v in t_wc[:3].reshape(-1)))
         prev = cur

@@ -171,3 +171,56 @@ def test_decoded_cache(prepared_dir, tmp_path):
         np.testing.assert_array_equal(ds_plain[idx], ds_cached[idx])
         np.testing.assert_array_equal(ds_plain[idx], ds_cached[idx])  # warm hit
     assert len(os.listdir(tmp_path / "cache")) > 0
+
+
+def test_kitti_raw_prepare_with_vendored_eigen_lists(tmp_path):
+    """KITTI_RAW.prepare_data_mp on a synthetic raw tree, filtering with the
+    REAL vendored Eigen split files (data/eigen/*.txt; reference ships the
+    same tables, kitti_raw.py:73-98):
+
+    * drive_0117 is in test_scenes.txt -> excluded wholesale;
+    * drive_0017 has static frames 0,1,4.. -> every 3-frame window at
+      stride 1 over frames 0..7 hits one -> contributes zero snippets;
+    * drive_0001 appears in neither list -> all windows survive.
+    """
+    from unopticalflow_tpu.data.preparers import KITTI_RAW
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    static_txt = os.path.join(repo_root, "data/eigen/static_frames.txt")
+    scenes_txt = os.path.join(repo_root, "data/eigen/test_scenes.txt")
+    assert os.path.isfile(static_txt) and os.path.isfile(scenes_txt)
+
+    raw = tmp_path / "raw"
+    rng = np.random.RandomState(0)
+    date = "2011_09_26"
+    n_frames = 8
+    for drive in ("0001", "0017", "0117"):
+        img_dir = raw / date / f"{date}_drive_{drive}_sync" / "image_02" / "data"
+        img_dir.mkdir(parents=True)
+        for i in range(n_frames):
+            _write_png(
+                str(img_dir / f"{i:010d}.png"),
+                rng.randint(0, 255, (IMG_H, IMG_W, 3), dtype=np.uint8),
+            )
+    with open(raw / date / "calib_cam_to_cam.txt", "w") as f:
+        f.write("P_rect_02: 700.0 0.0 600.0 0.0 0.0 700.0 180.0 0.0 0.0 0.0 1.0 0.0\n")
+
+    out = tmp_path / "prepared"
+    prep = KITTI_RAW(str(raw), static_txt, scenes_txt)
+    prep.prepare_data_mp(str(out), stride=1, num_processes=2)
+
+    with open(out / "train.txt") as f:
+        lines = [line.strip() for line in f if line.strip()]
+    # only drive_0001 contributes: frames 0..7 -> 6 snippets
+    assert len(lines) == n_frames - 2
+    assert all(f"{date}_drive_0001_sync" in line for line in lines)
+    assert not (out / date / f"{date}_drive_0117_sync").exists()
+    # drive_0017 was processed but fully static-filtered
+    with open(out / date / f"{date}_drive_0017_sync" / "train.txt") as f:
+        assert f.read().strip() == ""
+    # calib copied next to the date dir (kitti_raw.py:133-135 semantics)
+    assert (out / date / "calib_cam_to_cam.txt").is_file()
+    # the produced dir is directly trainable
+    ds = KITTI_Prepared(str(out), img_hw=(16, 32), num_iterations=None)
+    assert len(ds) == n_frames - 2
+    assert ds[0].shape == (3 * 16, 32, 3)

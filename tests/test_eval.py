@@ -189,3 +189,68 @@ def test_flowlib_long_tail(tmp_path):
     vis_rgb = fl.visualize_flow(f3, "RGB")
     for v in (vis_y, vis_rgb):
         assert v.shape == (6, 8, 3) and v.dtype == np.uint8
+
+
+def test_real_kitti_eval_runbook_smoke(tmp_path):
+    """benchmarks/real_kitti_eval.py end-to-end on synthetic GT fixtures.
+
+    Builds tiny KITTI-2012/2015 training trees (image pairs + 16-bit GT flow
+    PNGs + obj_map) and drives the real-data EPE runbook script through model
+    load -> inference -> GT load -> eval_flow_avg -> parsed metrics, so the
+    one-command path is proven before any real dataset exists on a host.
+    """
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "benchmarks"))
+    try:
+        import real_kitti_eval
+    finally:
+        sys.path.pop(0)
+    import cv2
+
+    rng = np.random.RandomState(5)
+    n, gh, gw = 2, 40, 72
+
+    def build(root, with_obj_map):
+        for sub in ("image_2", "flow_occ", "flow_noc") + (
+            ("obj_map",) if with_obj_map else ()
+        ):
+            os.makedirs(os.path.join(root, sub))
+        for i in range(n):
+            for suffix in ("_10", "_11"):
+                cv2.imwrite(
+                    os.path.join(root, "image_2", f"{i:06d}{suffix}.png"),
+                    rng.randint(0, 255, (gh, gw, 3), dtype=np.uint8),
+                )
+            gt = np.zeros((gh, gw, 3), np.float64)
+            gt[:, :, :2] = np.round(rng.uniform(-4, 4, (gh, gw, 2)) * 64) / 64
+            gt[:, :, 2] = (rng.rand(gh, gw) > 0.2).astype(np.float64)
+            write_flow_png(gt, os.path.join(root, "flow_occ", f"{i:06d}_10.png"))
+            noc = gt.copy()
+            noc[:, :, 2] *= (rng.rand(gh, gw) > 0.3).astype(np.float64)
+            write_flow_png(noc, os.path.join(root, "flow_noc", f"{i:06d}_10.png"))
+            if with_obj_map:
+                cv2.imwrite(
+                    os.path.join(root, "obj_map", f"{i:06d}_10.png"),
+                    (rng.rand(gh, gw) > 0.5).astype(np.uint16),
+                )
+
+    d2012 = str(tmp_path / "kitti_2012" / "training")
+    d2015 = str(tmp_path / "kitti_2015" / "training")
+    build(d2012, with_obj_map=False)
+    build(d2015, with_obj_map=True)
+
+    results = real_kitti_eval.run_eval(
+        pretrained_model=None,
+        gt_2012_dir=d2012,
+        gt_2015_dir=d2015,
+        img_hw=(64, 128),  # 6-level pyramid needs H, W divisible by 64
+        limit=n,
+    )
+    for key in ("kitti_2012", "kitti_2015"):
+        metrics = results[key]
+        assert np.isfinite(metrics["epe"]) and metrics["epe"] > 0, key
+        assert "err_rate" in metrics, key
+    # 2015 ran with moving masks -> the extended 8-column table
+    assert "epe_move" in results["kitti_2015"]

@@ -293,3 +293,58 @@ def test_freeze_flow_trains_pose_only():
         for a, b in zip(pose_after, before["pose"])
     )
     assert moved == len(pose_after)
+
+
+def test_odometry_metrics_end_to_end(tmp_path):
+    """Full odometry chain: synthetic rigid trajectory -> test_kitti_odo pose
+    file -> KittiEvalOdom.eval -> t/r errors ~ 0 (reference protocol,
+    eval_odom.py:282-350).
+
+    The GT trajectory is the SAME rigid motion at 4x the translation scale —
+    monocular scale is one global unknown, and with raw (un-normalized)
+    relative translations the evaluator's Umeyama Sim(3) alignment must
+    recover exactly that factor, driving both errors to float noise.
+    """
+    cv2 = pytest.importorskip("cv2")
+    import types
+
+    import test as test_cli
+    from unopticalflow_tpu.evaluation.eval_odom import KittiEvalOdom
+    from unopticalflow_tpu.ops.geometry import pose_vec2mat
+
+    n_frames = 62
+    seq = tmp_path / "seq" / "image_2"
+    os.makedirs(seq)
+    for i in range(n_frames):
+        cv2.imwrite(str(seq / f"{i:06d}.png"),
+                    RNG.randint(0, 255, (16, 32, 3), dtype=np.uint8))
+
+    # constant relative motion: mostly-forward translation + gentle yaw
+    vec = np.array([[0.05, 0.0, 2.0, 0.0, 0.01, 0.0]], np.float32)
+    rel = np.eye(4)
+    rel[:3] = np.asarray(pose_vec2mat(jnp.asarray(vec)))[0]
+
+    # GT: same chain with translations scaled 4x (~8 m/frame -> ~490 m total,
+    # so the 100-400 m KITTI segments are exercised)
+    scale = 4.0
+    rel_gt = rel.copy()
+    rel_gt[:3, 3] *= scale
+    t_wc = np.eye(4)
+    gt_lines = [" ".join(f"{v:.6e}" for v in t_wc[:3].reshape(-1))]
+    for _ in range(n_frames - 1):
+        t_wc = t_wc @ rel_gt
+        gt_lines.append(" ".join(f"{v:.6e}" for v in t_wc[:3].reshape(-1)))
+    gt_txt = str(tmp_path / "gt.txt")
+    with open(gt_txt, "w") as f:
+        f.write("\n".join(gt_lines) + "\n")
+
+    def pose_fn(i1, i2):
+        return vec
+
+    cfg = types.SimpleNamespace(img_hw=(16, 32))
+    result_txt = str(tmp_path / "res" / "odom.txt")
+    test_cli.test_kitti_odo(cfg, pose_fn, str(tmp_path / "seq"), result_txt)
+
+    t_err, r_err = KittiEvalOdom().eval(gt_txt, result_txt, plot=False)
+    assert t_err < 1e-4  # fraction of segment length
+    assert r_err < 1e-6  # rad/m

@@ -109,7 +109,11 @@ def train(cfg):
         compute_dtype=precision,
         loss_dtype=cfg.get("loss_precision", None) or precision,
         use_pallas_corr=resolve_pallas(cfg.get("pallas_corr", "auto")),
-        use_pallas_photo=resolve_pallas(cfg.get("pallas_corr", "auto")),
+        # independently toggleable (defaults to the pallas_corr setting) so a
+        # regression can be isolated to one kernel
+        use_pallas_photo=resolve_pallas(
+            cfg.get("pallas_photo", cfg.get("pallas_corr", "auto"))
+        ),
     )
     init_fn = get_model(cfg.mode)
     params = init_fn(jax.random.PRNGKey(cfg.get("seed", 0)))
@@ -119,9 +123,20 @@ def train(cfg):
     # resume / warm start (reference train.py:42-75)
     if cfg.resume:
         name = f"iter_{cfg.iter_start}.ckpt" if cfg.iter_start > 0 else "last.ckpt"
-        it, params, opt_state = ckpt.restore_checkpoint(
-            os.path.join(cfg.model_dir, name), state.params, state.opt_state
-        )
+        try:
+            it, params, opt_state = ckpt.restore_checkpoint(
+                os.path.join(cfg.model_dir, name), state.params, state.opt_state
+            )
+        except (ValueError, KeyError) as e:
+            # The opt_state pytree structure depends on --freeze_flow
+            # (optax.multi_transform vs plain Adam); a mismatched resume
+            # otherwise dies with an opaque deserialization error.
+            raise ValueError(
+                f"failed to restore {name}: checkpoint structure does not "
+                f"match the current optimizer (freeze_flow={freeze_flow}). "
+                "Resume with the same --freeze_flow setting the checkpoint "
+                "was saved under."
+            ) from e
         cfg.iter_start = it
         state = TrainState(jnp.asarray(it, jnp.int32), params, opt_state)
     elif cfg.flow_pretrained_model:

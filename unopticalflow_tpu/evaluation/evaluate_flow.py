@@ -60,14 +60,21 @@ def _read_flow_gt_worker(dir_gt: str, i: int):
     return occ, noc[:, :, 2]
 
 
-def load_gt_flow_kitti(gt_dataset_dir: str, mode: str, num_workers: int = 5):
-    """Load KITTI 2012 (194) / 2015 (200) GT flows + noc masks in parallel."""
-    if mode == "kitti_2012":
-        num_gt = 194
-    elif mode == "kitti_2015":
-        num_gt = 200
-    else:
-        raise ValueError(f"Mode {mode} not found.")
+def load_gt_flow_kitti(
+    gt_dataset_dir: str, mode: str, num_workers: int = 5, num_gt: int | None = None
+):
+    """Load KITTI 2012 (194) / 2015 (200) GT flows + noc masks in parallel.
+
+    ``num_gt`` overrides the per-benchmark frame count (used by smoke tests
+    that exercise the pipeline on a small synthetic fixture).
+    """
+    if num_gt is None:
+        if mode == "kitti_2012":
+            num_gt = 194
+        elif mode == "kitti_2015":
+            num_gt = 200
+        else:
+            raise ValueError(f"Mode {mode} not found.")
 
     fun = functools.partial(_read_flow_gt_worker, gt_dataset_dir)
     with multiprocessing.Pool(num_workers) as pool:

@@ -256,10 +256,12 @@ def forward_pair(params, cfg: FlowModelConfig, images, return_aux: bool = False)
 
     ns = cfg.num_scales
     weights = []
+    backs = []  # bwd flow resampled into the source frame: f_ba(x + f_ab(x))
     for s in range(ns):
         f_ab = flows[s]
         f_ba = jnp.concatenate([flows[s][b:], flows[s][:b]], 0)
         back = bilinear_warp(f_ba, f_ab, use_mask=False)
+        backs.append(back)
         sq = jnp.sum((f_ab + back) ** 2, -1, keepdims=True)
         mag = jnp.sum(f_ab**2 + back**2, -1, keepdims=True)
         soft = jnp.exp(-sq / (mag + 1.0))
@@ -280,9 +282,13 @@ def forward_pair(params, cfg: FlowModelConfig, images, return_aux: bool = False)
             _losses.masked_ssim_loss(pyr_src[:ns], warped, weights, ns)
         ),
         "loss_flow_smooth": halves(_losses.flow_smooth_loss(flows, pyr_src, ns)),
+        # fb-consistency in the SOURCE frame: compare f1->2(x) against the
+        # resampled backward flow f2->1(x + f1->2(x)) (the same `backs` used
+        # for the soft weights) rather than f2->1 at the raw raster position,
+        # which only matches where motion is locally smooth.
         "loss_flow_consis": _losses.flow_consistency_loss(
             [f[:b] for f in flows[:ns]],
-            [f[b:] for f in flows[:ns]],
+            [bk[:b] for bk in backs],
             [w[:b] for w in weights],
             ns,
         ),

@@ -131,8 +131,8 @@ def _gather_corners(img, corners, img_hw, gather_u32=False):
     y0, x0 = corners[0][0], corners[0][1]
     iy = jnp.clip(y0 + 1, 0, h)
     ix = jnp.clip(x0 + 1, 0, w)
-    c = img.shape[-1]
-    if gather_u32 and img.dtype == jnp.bfloat16 and (4 * c) % 2 == 0:
+    if gather_u32 and img.dtype == jnp.bfloat16:
+        # 4C is always even, so bf16 channels pair exactly into uint32 lanes.
         b, hp, wp, c4 = packed.shape
         u = jax.lax.bitcast_convert_type(
             packed.reshape(b, hp, wp, c4 // 2, 2), jnp.uint32

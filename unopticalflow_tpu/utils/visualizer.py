@@ -162,16 +162,28 @@ class VisualizerDebug:
             img2 = cv2.circle(img2, tuple(int(v) for v in pt2), 3, color, -1)
         return img1, img2
 
-    def show_epipolar_line(self, img1, img2, match, fundamental, name: str):
+    def show_epipolar_line(
+        self, img1, img2, match, fundamental, name: str,
+        convention: str = "x2Fx1",
+    ):
         """Overlay the epipolar lines induced by F on both images.
 
-        match: (4, N) rows [x1, y1, x2, y2]; fundamental: (3, 3) with
-        x2^T F x1 = 0 (cv2.computeCorrespondEpilines convention).
+        match: (4, N) rows [x1, y1, x2, y2]; fundamental: (3, 3).
+
+        convention: ``"x2Fx1"`` (default) means F satisfies x2^T F x1 = 0
+        (cv2.computeCorrespondEpilines convention); pass ``"x1Fx2"`` for an
+        F with x1^T F x2 = 0 — which is what
+        ``ops.geometry.fundamental_from_pose`` returns — and it is transposed
+        internally so the two images' epilines are not silently swapped.
         """
         import cv2
 
+        if convention not in ("x2Fx1", "x1Fx2"):
+            raise ValueError(f"unknown F convention: {convention!r}")
         match = np.asarray(match, np.float32)
         f = np.asarray(fundamental, np.float64)
+        if convention == "x1Fx2":
+            f = f.T
         pts1 = match[:2].T
         pts2 = match[2:].T
         lines1 = cv2.computeCorrespondEpilines(
