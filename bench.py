@@ -139,6 +139,128 @@ def bench_infer(batch, img_hw, iters, compute_dtype, use_pallas):
     return batch / (float(np.median(window_ms)) / 1e3), 0.0
 
 
+def validate_on_chip(out_path=None):
+    """Fwd+grad closeness of the Pallas kernels vs XLA compositions ON TPU.
+
+    Interpret-mode tests (tests/test_pallas_kernels.py,
+    tests/test_pallas_photometric.py) cannot catch Mosaic lowering bugs
+    (layouts, masked halos); this runs both kernels on the real chip against
+    their pure-XLA compositions and asserts closeness of forward outputs and
+    VJPs under a shared random cotangent.  Prints one JSON line; optionally
+    writes the full report to ``out_path``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from unopticalflow_tpu.ops import pallas_photometric as pp
+    from unopticalflow_tpu.ops.cost_volume import cost_volume_xla
+    from unopticalflow_tpu.ops.pallas_kernels import cost_volume_pallas
+    from unopticalflow_tpu.ops.warp import warp_corners
+
+    rng = np.random.RandomState(0)
+    checks = {}
+
+    def rel_err(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = float(np.max(np.abs(b))) or 1.0
+        return float(np.max(np.abs(a - b))) / scale
+
+    # ---- cost volume (fwd + df1 + df2), recipe level-3 shape ----
+    bsz, h, w, c = 2, 32, 104, 64
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        f1 = jnp.asarray(rng.randn(bsz, h, w, c).astype(np.float32), dtype)
+        f2 = jnp.asarray(rng.randn(bsz, h, w, c).astype(np.float32), dtype)
+
+        @jax.jit
+        def corr_both(f1, f2):
+            out_pl, vjp_pl = jax.vjp(
+                lambda a, b: cost_volume_pallas(a, b, 4), f1, f2
+            )
+            out_x, vjp_x = jax.vjp(
+                lambda a, b: cost_volume_xla(a, b, 4), f1, f2
+            )
+            g = jnp.asarray(
+                np.random.RandomState(1)
+                .randn(*out_x.shape)
+                .astype(np.float32),
+                out_x.dtype,
+            )
+            return (out_pl, *vjp_pl(g)), (out_x, *vjp_x(g))
+
+        got, want = jax.device_get(corr_both(f1, f2))
+        name = f"corr_{np.dtype(dtype).name}"
+        errs = [rel_err(a, b) for a, b in zip(got, want)]
+        checks[name] = {
+            "max_rel_err_fwd_df1_df2": [round(e, 6) for e in errs],
+            "tol": tol,
+            "ok": all(e < tol for e in errs),
+        }
+
+    # ---- fused photometric pack (fwd sums, weights, d(flow)) ----
+    bsz, h, w = 2, 32, 104
+    for dtype, tol in ((jnp.float32, 1e-4), (jnp.bfloat16, 2e-2)):
+        img = jnp.asarray(rng.rand(bsz, h, w, 3).astype(np.float32), dtype)
+        img_l = jnp.asarray(rng.rand(bsz, h, w, 3).astype(np.float32), dtype)
+        img_r = jnp.asarray(rng.rand(bsz, h, w, 3).astype(np.float32), dtype)
+        flow_b = jnp.asarray(rng.uniform(-5, 5, (bsz, h, w, 2)).astype(np.float32))
+        flow_f = jnp.asarray(rng.uniform(-5, 5, (bsz, h, w, 2)).astype(np.float32))
+
+        @jax.jit
+        def photo_both(img, img_l, img_r, flow_b, flow_f):
+            four_b = warp_corners(img_l, flow_b)
+            four_f = warp_corners(img_r, flow_f)
+
+            def scalars(fn, fb, ff):
+                out = fn(four_b, four_f, fb, ff, img)
+                return (out["s_dw"], out["s_cl"]), (out["s_w"], out["weights"])
+
+            g = (
+                jnp.asarray(
+                    np.random.RandomState(2).randn(2 * bsz).astype(np.float32)
+                ),
+            ) * 2
+
+            def run(fn):
+                (dw_cl, aux), vjp = jax.vjp(
+                    lambda fb, ff: scalars(fn, fb, ff)[0], flow_b, flow_f
+                )
+                d_fb, d_ff = vjp(g)
+                return (*dw_cl, *aux, d_fb, d_ff)
+
+            return run(pp.photometric_pack), run(pp.photometric_pack_reference)
+
+        got, want = jax.device_get(photo_both(img, img_l, img_r, flow_b, flow_f))
+        name = f"photo_{np.dtype(dtype).name}"
+        labels = ["s_dw", "s_cl", "s_w", "weights", "d_flow_b", "d_flow_f"]
+        errs = {k: round(rel_err(a, b), 6) for k, a, b in zip(labels, got, want)}
+        checks[name] = {
+            "max_rel_err": errs,
+            "tol": tol,
+            "ok": all(e < tol for e in errs.values()),
+        }
+
+    ok = all(v["ok"] for v in checks.values())
+    report = {
+        "validate": "pallas-on-chip",
+        "platform": jax.devices()[0].platform,
+        "ok": ok,
+        "checks": checks,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+    print(json.dumps({"validate": "pallas-on-chip", "ok": ok,
+                      "platform": report["platform"],
+                      "worst": max(
+                          e for v in checks.values()
+                          for e in (v["max_rel_err_fwd_df1_df2"]
+                                    if "max_rel_err_fwd_df1_df2" in v
+                                    else list(v["max_rel_err"].values()))
+                      )}))
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
@@ -149,6 +271,10 @@ if __name__ == "__main__":
                    help="disable the Pallas cost-volume kernels (default on "
                         "TPU: enabled — ~45% faster end-to-end than XLA corr)")
     p.add_argument("--infer", action="store_true")
+    p.add_argument("--validate", action="store_true",
+                   help="on-chip Pallas-vs-XLA fwd+grad closeness check "
+                        "instead of the throughput bench")
+    p.add_argument("--validate-out", default="benchmarks/PALLAS_VALIDATE.json")
     args = p.parse_args()
 
     import jax
@@ -157,6 +283,9 @@ if __name__ == "__main__":
     # remote compile of the train step (entries self-invalidate on version)
     jax.config.update("jax_compilation_cache_dir", "/tmp/unflow_jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.validate:
+        sys.exit(validate_on_chip(args.validate_out))
 
     from unopticalflow_tpu.utils.platform import on_tpu
 
