@@ -48,6 +48,19 @@ def build_arg_parser():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--multi_gpu", action="store_true",
                    help="data-parallel over all devices (mesh DP).")
+    p.add_argument("--multi_host", action="store_true",
+                   help="multi-host data parallelism: jax.distributed over "
+                        "all hosts (DCN), DP mesh over the GLOBAL device "
+                        "set; implies --multi_gpu semantics (batch x N_dev, "
+                        "iterations / N_dev). Run the same command on every "
+                        "host.")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 for --multi_host (omit on "
+                        "cloud TPU pods: auto-detected).")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total process count for --multi_host.")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's id for --multi_host.")
     p.add_argument("--no_test", action="store_true")
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"],
@@ -156,9 +169,19 @@ def train(cfg):
     loss_weights = loss_weights_from_config(cfg)
     visualizer = Visualizer(loss_weights, cfg.get("log_dump_dir"))
 
+    # multi-host: process 0 owns preparation/eval/checkpoint/log; the data
+    # path is per-process sharded (BatchLoader block + make_array assembly)
+    is_main = jax.process_index() == 0
+
     # dataset preparation on first run (train.py:81-96)
     data_dir = os.path.join(cfg.prepared_base_dir, cfg.prepared_save_dir)
-    if not os.path.exists(os.path.join(data_dir, "train.txt")):
+    if not is_main:
+        # non-coordinators wait for process 0 to finish preparing
+        import time as _time
+
+        while not os.path.exists(os.path.join(data_dir, "train.txt")):
+            _time.sleep(2.0)
+    elif not os.path.exists(os.path.join(data_dir, "train.txt")):
         if cfg.dataset == "kitti_depth":
             KITTI_RAW(
                 cfg.raw_base_dir, cfg.static_frames_txt, cfg.test_scenes_txt
@@ -201,10 +224,16 @@ def train(cfg):
     loader = BatchLoader(
         dataset, batch_size=cfg.batch_size, num_workers=cfg.num_workers,
         drop_last=False,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
 
     eval_gts = None
-    if (not cfg.no_test) and cfg.dataset in ("kitti_depth", "kitti_odo", "sintel_raw"):
+    if (
+        is_main
+        and (not cfg.no_test)
+        and cfg.dataset in ("kitti_depth", "kitti_odo", "sintel_raw")
+    ):
         gt_flows_2012, noc_masks_2012 = load_gt_flow_kitti(cfg.gt_2012_dir, "kitti_2012")
         gt_flows_2015, noc_masks_2015 = load_gt_flow_kitti(cfg.gt_2015_dir, "kitti_2015")
         gt_masks_2015 = load_gt_mask(cfg.gt_2015_dir)
@@ -213,10 +242,14 @@ def train(cfg):
 
     mesh = None
     batch_sharding = None
-    if cfg.multi_gpu:
-        mesh = data_parallel_mesh()
+    if cfg.multi_gpu or cfg.get("multi_host"):
+        mesh = data_parallel_mesh()  # global device set under jax.distributed
         batch_sharding = NamedSharding(mesh, P("data"))
-        print(f"data-parallel mesh over {mesh.devices.size} devices")
+        if is_main:
+            print(
+                f"data-parallel mesh over {mesh.devices.size} devices "
+                f"({jax.process_count()} processes)"
+            )
     step_fn = make_train_step(
         model_cfg, loss_weights, lr=cfg.lr, mesh=mesh, mode=cfg.mode,
         snippet_frames=getattr(dataset, "num_frames", 3),
@@ -240,11 +273,53 @@ def train(cfg):
             iteration, state.params, state.opt_state,
         )
 
-    print(f"starting iteration: {cfg.iter_start}.")
+    if is_main:
+        print(f"starting iteration: {cfg.iter_start}.")
     stream = device_prefetch(iter(loader), sharding=batch_sharding)
+
+    if jax.process_count() > 1:
+        # Compile-skew hygiene: each process AOT-compiles the step at its own
+        # pace (minutes apart is normal on asymmetric hosts), THEN all meet at
+        # a coordination-service barrier (long timeout) before the first
+        # gradient all-reduce.  Without this, the slowest process trips the
+        # collective rendezvous timeout (Gloo: hard 30 s) while the others
+        # are already executing.
+        import itertools
+
+        from jax._src import distributed as _dist
+
+        stream = iter(stream)
+        try:
+            first = next(stream)
+        except StopIteration:
+            first = None
+        if first is not None:
+            peek = first
+            if cfg.dataset == "nyuv2":
+                imgs, k_ms, k_inv_ms = first
+                peek = (
+                    (imgs, k_ms[:, 0], k_inv_ms[:, 0])
+                    if cfg.mode == "flowposenet" else imgs
+                )
+            step_fn.precompile(state, peek)
+            stream = itertools.chain([first], stream)
+        client = _dist.global_state.client
+        if client is not None:
+            client.wait_at_barrier(
+                "unflow_train_step_compiled", timeout_in_ms=3_600_000
+            )
+
     for iter_, inputs in enumerate(stream):
         if (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test) and eval_gts:
-            infer = lambda i1, i2: infer_jit(state.params, i1, i2)
+            # multi-host: params are replicated, so every process holds a full
+            # local copy — fetch to host and run eval on THIS process's devices
+            # only.  (Calling a jit on the globally-sharded params from just
+            # process 0 would deadlock the other processes' collectives.)
+            eval_params = (
+                jax.device_get(state.params)
+                if jax.process_count() > 1 else state.params
+            )
+            infer = lambda i1, i2: infer_jit(eval_params, i1, i2)
             res_2012 = test_kitti_2012(cfg, infer, eval_gts[0], eval_gts[1])
             res_2015 = test_kitti_2015(
                 cfg, infer, eval_gts[2], eval_gts[3], eval_gts[4]
@@ -267,11 +342,11 @@ def train(cfg):
                 if cfg.mode == "flowposenet" else imgs
             )
         state, metrics = step_fn(state, inputs)
-        if iter_ % cfg.log_interval == 0:
+        if is_main and iter_ % cfg.log_interval == 0:
             visualizer.print_loss(
                 {k: v for k, v in metrics.items() if k != "loss_total"}, iter_=iter_
             )
-        if (iter_ + 1) % cfg.save_interval == 0:
+        if is_main and (iter_ + 1) % cfg.save_interval == 0:
             save(iter_)
     return state
 
@@ -282,6 +357,24 @@ if __name__ == "__main__":
         raise ValueError("config file needed. -c --config_file.")
     if not os.path.exists(args.config_file):
         raise ValueError("config file not found.")
+
+    is_main_proc = True
+    if args.multi_host:
+        # must run before any device query, on every host
+        from unopticalflow_tpu.parallel import initialize_multi_host
+
+        kw = {}
+        if args.coordinator_address is not None:
+            kw["coordinator_address"] = args.coordinator_address
+        if args.num_processes is not None:
+            kw["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kw["process_id"] = args.process_id
+        initialize_multi_host(**kw)
+        import jax
+
+        is_main_proc = jax.process_index() == 0
+        args.multi_gpu = True  # DP mesh over the global device set
 
     if args.model_dir is None:
         args.model_dir = os.path.join(
@@ -294,10 +387,13 @@ if __name__ == "__main__":
 
     cfg_dict = load_yaml_config(args.config_file)
     cfg_dict["log_dump_dir"] = os.path.join(args.model_dir, "log.pkl")
-    shutil.copy(args.config_file, args.model_dir)
+    if is_main_proc:
+        shutil.copy(args.config_file, args.model_dir)
     cfg = merge_cli_args(cfg_dict, args)
 
     # --multi_gpu semantics (train.py:208-213): scale batch, divide iterations
+    # (under --multi_host, jax.devices() spans every host, so the reference's
+    # batch x N / iters / N rule generalizes to the global device count)
     if cfg.multi_gpu:
         import jax
 
@@ -305,7 +401,8 @@ if __name__ == "__main__":
         cfg.batch_size = cfg.batch_size * n_dev
         cfg.num_iterations = int(cfg.num_iterations / n_dev)
 
-    with open(os.path.join(args.model_dir, "config.pkl"), "wb") as f:
-        pickle.dump(cfg.to_dict(), f)
+    if is_main_proc:
+        with open(os.path.join(args.model_dir, "config.pkl"), "wb") as f:
+            pickle.dump(cfg.to_dict(), f)
 
     train(cfg)

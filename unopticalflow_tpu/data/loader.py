@@ -32,12 +32,34 @@ class BatchLoader:
         num_workers: int = 4,
         prefetch_batches: int = 2,
         drop_last: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch.
+
+        Multi-host (``process_count > 1``): every process constructs the SAME
+        global index schedule, then loads only its own contiguous block of
+        each batch — block ``process_index`` of size
+        ``batch_size // process_count``.  Contiguous blocks (not a stride)
+        because on a 1-D data mesh process ``p`` owns devices
+        ``[p*d .. (p+1)*d)``, which hold the global batch rows in order —
+        exactly what ``jax.make_array_from_process_local_data`` assembles
+        without resharding (see ``device_prefetch``).  Trailing batches that
+        cannot fill the global batch are dropped (they cannot be divided
+        evenly across processes).
+        """
+        if batch_size % max(1, process_count):
+            raise ValueError(
+                f"global batch {batch_size} must divide over "
+                f"{process_count} processes"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch_batches = max(1, prefetch_batches)
-        self.drop_last = drop_last
+        self.drop_last = drop_last or process_count > 1
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.dataset)
@@ -57,6 +79,12 @@ class BatchLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.process_count > 1:
+            local = self.batch_size // self.process_count
+            batches = [
+                b[self.process_index * local : (self.process_index + 1) * local]
+                for b in batches
+            ]
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
@@ -105,13 +133,30 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     With a ``NamedSharding`` the batch lands pre-sharded over the mesh's data
     axis; otherwise it goes to the default device.  Host->device copies of
     batch k+1 overlap with the compute of batch k.
+
+    Multi-host: when the sharding's mesh spans more than this process, the
+    incoming batch is this process's LOCAL block (see ``BatchLoader``) and is
+    assembled into the global jax.Array via
+    ``jax.make_array_from_process_local_data`` — each process feeds only its
+    own devices; no cross-host data movement happens on the batch path.
     """
     import collections
 
     buf = collections.deque()
+    multi_process = jax.process_count() > 1
 
     def put(batch):
         if sharding is not None:
+            if multi_process:
+                scale = jax.process_count()
+
+                def mk(x):
+                    gshape = (x.shape[0] * scale,) + x.shape[1:]
+                    return jax.make_array_from_process_local_data(
+                        sharding, np.ascontiguousarray(x), gshape
+                    )
+
+                return jax.tree_util.tree_map(mk, batch)
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)
 

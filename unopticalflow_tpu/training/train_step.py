@@ -137,13 +137,40 @@ def make_train_step(
 
     n_batch_args = 3 if mode == "flowposenet" else 1
 
+    def _attach_precompile(step_fn, jitted):
+        """AOT-compile support (multi-host compile-skew hygiene).
+
+        ``step_fn.precompile(state, batch)`` compiles the step ahead of time
+        and caches the executable so the first real step dispatches it
+        directly.  Multi-host training compiles on every process at its own
+        pace; without this, a slow process reaches the first gradient
+        all-reduce minutes after a fast one and trips the CPU/DCN collective
+        rendezvous timeout (Gloo's is a hard 30 s).  train.py pairs this with
+        a coordination-service barrier.
+        """
+        cell = {}
+
+        def precompile(state, batch):
+            batch = batch if isinstance(batch, tuple) else (batch,)
+            cell["compiled"] = jitted.lower(state, *batch).compile()
+
+        def run(state, *batch):
+            compiled = cell.get("compiled")
+            return compiled(state, *batch) if compiled is not None else jitted(
+                state, *batch
+            )
+
+        step_fn.precompile = precompile
+        return run
+
     if mesh is None:
         jitted = jax.jit(step_body, donate_argnums=(0,))
 
         def step_fn(state, batch):
             batch = batch if isinstance(batch, tuple) else (batch,)
-            return jitted(state, *batch)
+            return _run(state, *batch)
 
+        _run = _attach_precompile(step_fn, jitted)
         return step_fn
 
     from jax import shard_map
@@ -172,6 +199,7 @@ def make_train_step(
             f"global batch {batch[0].shape[0]} must divide the "
             f"{mesh.devices.size}-device data mesh"
         )
-        return step(state, *batch)
+        return _run(state, *batch)
 
+    _run = _attach_precompile(step_fn, step)
     return step_fn
