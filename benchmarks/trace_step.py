@@ -98,6 +98,38 @@ def summarize(out_dir, top=40, steps=3):
         print(f"{ms / steps:9.2f}  {100 * ms / total:5.1f}  "
               f"{cnt[name] // steps:5d}  {name[:110]}")
 
+    # ---- attributed rollups (uses the per-event hlo_category/source args) --
+    by_cat = defaultdict(float)
+    by_src = defaultdict(float)
+    flops_total = 0.0
+    for e in events:
+        a = e.get("args", {})
+        if e.get("ph") != "X" or "hlo_category" not in a:
+            continue
+        ms = float(a["device_duration_ps"]) / 1e9
+        by_cat[a["hlo_category"]] += ms
+        src = a.get("source")
+        if not src:
+            stack = a.get("source_stack", "")
+            src = next(
+                (ln.rsplit(":", 1)[0] for ln in stack.split("\n")
+                 if "unopticalflow" in ln), "(xla-internal)",
+            )
+        by_src[src.replace("/root/repo/", "")] += ms
+        flops_total += float(a.get("model_flops", 0) or 0)
+    cat_total = sum(by_cat.values())
+    if cat_total:
+        print(f"\n-- by HLO category ({cat_total / steps:.1f} ms/step) --")
+        for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+            if v / steps >= 0.05:
+                print(f"  {v / steps:7.2f} ms  {100 * v / cat_total:5.1f}%  {k}")
+        print("\n-- by source (top 25) --")
+        for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {v / steps:7.2f} ms  {100 * v / cat_total:5.1f}%  {k}")
+        mfu = flops_total / (cat_total / 1e3) / 1e12 / 197.0  # v5e bf16 peak
+        print(f"\nmodel TFLOP/step: {flops_total / steps / 1e12:.2f}  "
+              f"effective MFU vs 197 TF/s bf16 peak: {100 * mfu:.1f}%")
+
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()

@@ -208,6 +208,7 @@ def test_odometry_output_feeds_eval_odom(tmp_path):
     np.testing.assert_allclose(poses[3][:3, :3], np.eye(3), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_forward_flowpose_pair():
     """2-frame (NYU-style) variant: full pack, finite grads to both branches."""
     from unopticalflow_tpu.models.flowpose_model import forward_flowpose_pair

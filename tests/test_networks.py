@@ -72,6 +72,7 @@ def test_feature_pyramid_parity(params, sd):
         )
 
 
+@pytest.mark.slow
 def test_decoder_parity(params, sd):
     h, w = 64, 64
     img1 = RNG.rand(1, h, w, 3).astype(np.float32)
@@ -101,6 +102,7 @@ def test_inference_flow(params):
     assert np.isfinite(np.asarray(flow)).all()
 
 
+@pytest.mark.slow
 def test_loss_pack_parity(params, sd):
     h, w = 64, 64
     images = RNG.rand(2, 3 * h, w, 3).astype(np.float32)
@@ -165,6 +167,7 @@ def test_deconv_matches_torch():
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_loss_stack_close_to_fp32(params):
     images = jnp.asarray(RNG.rand(1, 3 * 64, 64, 3).astype(np.float32))
     a = forward(params, CFG, images)

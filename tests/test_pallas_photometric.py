@@ -96,6 +96,7 @@ def test_weights_and_sw_carry_no_gradient(interpret_pack):
     assert float(jnp.sum(jnp.abs(g))) == 0.0
 
 
+@pytest.mark.slow
 def test_full_forward_fused_matches_unfused(interpret_pack):
     """Model forward + grads with the fused photometric path == XLA path."""
     from unopticalflow_tpu.models import FlowModelConfig, forward, init_flow_model

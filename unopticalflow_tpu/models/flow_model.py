@@ -162,22 +162,42 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
         # emits d(flow) only — its other inputs carry no gradient by
         # reference semantics (see ops/pallas_photometric.py).
         from unopticalflow_tpu.ops.pallas_photometric import photometric_pack
+        from unopticalflow_tpu.ops.pallas_regularizer import regularizer_pack
         from unopticalflow_tpu.ops.warp import warp_corners
 
         loss_pixel = 0.0
         loss_ssim = 0.0
+        loss_smooth = 0.0
+        loss_consis = 0.0
         weights = []
         for s in range(ns):
-            four_b = warp_corners(pyr_lr[s][:b], flows_bwd[s], gather_u32=True)
-            four_f = warp_corners(pyr_lr[s][b:], flows_fwd[s], gather_u32=True)
+            # one 2B-packed corner fetch: both directions' tables build in one
+            # fusion and the (index-rate-bound) gather dispatches once
+            four = warp_corners(pyr_lr[s], flows[s], gather_u32=True)
             out = photometric_pack(
-                four_b, four_f, flows_bwd[s], flows_fwd[s], pyr_c[s]
+                four[:b], four[b:], flows_bwd[s], flows_fwd[s], pyr_c[s]
             )
-            hw = pyr_c[s].shape[1] * pyr_c[s].shape[2]
+            h_s, w_s = pyr_c[s].shape[1], pyr_c[s].shape[2]
+            hw = h_s * w_s
             mean_w = out["s_w"] / hw + 1e-12
             loss_pixel = loss_pixel + (out["s_dw"] / hw) / mean_w
             loss_ssim = loss_ssim + (out["s_cl"] / hw) / mean_w
             weights.append(out["weights"])
+
+            # fused smoothness + fb-consistency sums (reference denominators
+            # applied here; ops/pallas_regularizer.py)
+            reg = regularizer_pack(
+                flows_bwd[s], flows_fwd[s], pyr_c[s],
+                jax.lax.stop_gradient(out["weights"][b:]),
+            )
+            err = reg["s_sx"] / (h_s * (w_s - 2) * 2) + reg["s_sy"] / (
+                (h_s - 2) * w_s * 2
+            )
+            loss_smooth = loss_smooth + err / 2.0
+            occ_mean = 1.0 - out["s_w"][b:] / hw  # mean(1 - w_fwd)
+            loss_consis = loss_consis + (reg["s_consis"] / (hw * 2)) / (
+                occ_mean + 1e-12
+            )
     else:
         # one warp dispatch per scale for both directions (gathers on TPU
         # are index-rate-bound; packing halves fixed per-dispatch overhead).
@@ -193,14 +213,21 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
         loss_pixel = losses.masked_diff_loss(diffs, weights, ns)
         loss_ssim = losses.masked_ssim_loss(pyr_cc, warped_lr, weights, ns)
 
-    w_fwd = [w[b:] for w in weights]
+    if fused:
+        smooth = loss_smooth
+        consis = loss_consis
+    else:
+        # pass the B-sized center pyramid: both packed halves share the same
+        # image, so the edge weights compute once (losses.py tiles them)
+        smooth = losses.flow_smooth_loss(flows, pyr_c[:ns], ns)
+        consis = losses.flow_consistency_loss(
+            flows_fwd, flows_bwd, [w[b:] for w in weights], ns
+        )
     loss_pack = {
         "loss_pixel": halves(loss_pixel),
         "loss_ssim": halves(loss_ssim),
-        "loss_flow_smooth": halves(losses.flow_smooth_loss(flows, pyr_cc, ns)),
-        "loss_flow_consis": losses.flow_consistency_loss(
-            flows_fwd, flows_bwd, w_fwd, ns
-        ),
+        "loss_flow_smooth": halves(smooth),
+        "loss_flow_consis": consis,
     }
     if return_aux:
         return loss_pack, {"flows": flows, "weights": weights}

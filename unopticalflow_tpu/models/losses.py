@@ -142,9 +142,19 @@ def _grad_y(x):
 
 
 def second_order_smoothness(flow: jax.Array, img: jax.Array) -> jax.Array:
-    """Edge-aware 2nd-order smoothness of one flow scale (:157-167)."""
+    """Edge-aware 2nd-order smoothness of one flow scale (:157-167).
+
+    ``img`` may carry a smaller batch that divides ``flow``'s (the training
+    pass duplicates the center frame for the packed [bwd; fwd] flows) — the
+    edge weights are then computed once and tiled, which is exact because
+    both halves share the identical image.
+    """
     w_x = jnp.exp(-10.0 * jnp.mean(jnp.abs(_grad_x(img)), axis=-1, keepdims=True))
     w_y = jnp.exp(-10.0 * jnp.mean(jnp.abs(_grad_y(img)), axis=-1, keepdims=True))
+    if img.shape[0] != flow.shape[0]:
+        reps = flow.shape[0] // img.shape[0]
+        w_x = jnp.concatenate([w_x] * reps, 0)
+        w_y = jnp.concatenate([w_y] * reps, 0)
     dx2 = _grad_x(_grad_x(flow))
     dy2 = _grad_y(_grad_y(flow))
     err = _mean_bhwc(w_x[:, :, 1:, :] * jnp.abs(dx2)) + _mean_bhwc(
