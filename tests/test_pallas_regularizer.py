@@ -96,7 +96,7 @@ def test_full_forward_fused_regularizer_matches_unfused(interpret_pack):
 
     params = init_flow_model(jax.random.PRNGKey(3))
     images = jnp.asarray(RNG.rand(1, 3 * 64, 64, 3).astype(np.float32))
-    cfg_p = FlowModelConfig(num_scales=3, use_pallas_photo=True)
+    cfg_p = FlowModelConfig(num_scales=3, use_pallas_photo=True, use_pallas_reg=True)
     cfg_x = FlowModelConfig(num_scales=3, use_pallas_photo=False)
     got = forward(params, cfg_p, images)
     want = forward(params, cfg_x, images)

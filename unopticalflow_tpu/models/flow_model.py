@@ -46,6 +46,11 @@ class FlowModelConfig(NamedTuple):
     # (ops/pallas_photometric.py); falls back to the XLA composition when
     # the pyramid scales don't tile (H % 32 != 0)
     use_pallas_photo: bool = False
+    # route smoothness+consistency through ops/pallas_regularizer.py.
+    # Off by default: measured ~2.5 ms/step SLOWER than XLA's own fusion of
+    # the loss tail at the KITTI recipe (documented negative result); the
+    # kernel stays for the validation surface and future revisit.
+    use_pallas_reg: bool = False
 
     @property
     def cdtype(self):
@@ -171,11 +176,14 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
         loss_consis = 0.0
         weights = []
         for s in range(ns):
-            # one 2B-packed corner fetch: both directions' tables build in one
-            # fusion and the (index-rate-bound) gather dispatches once
-            four = warp_corners(pyr_lr[s], flows[s], gather_u32=True)
+            # per-direction corner fetches: a single 2B-packed gather was
+            # measured 26% SLOWER on v5e (32.3 vs 25.7 ms of gathers at the
+            # KITTI recipe) — XLA's gather strategy degrades at the larger
+            # operand geometry, so keep two B-sized dispatches
+            four_b = warp_corners(pyr_lr[s][:b], flows_bwd[s], gather_u32=True)
+            four_f = warp_corners(pyr_lr[s][b:], flows_fwd[s], gather_u32=True)
             out = photometric_pack(
-                four[:b], four[b:], flows_bwd[s], flows_fwd[s], pyr_c[s]
+                four_b, four_f, flows_bwd[s], flows_fwd[s], pyr_c[s]
             )
             h_s, w_s = pyr_c[s].shape[1], pyr_c[s].shape[2]
             hw = h_s * w_s
@@ -184,20 +192,25 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
             loss_ssim = loss_ssim + (out["s_cl"] / hw) / mean_w
             weights.append(out["weights"])
 
-            # fused smoothness + fb-consistency sums (reference denominators
-            # applied here; ops/pallas_regularizer.py)
-            reg = regularizer_pack(
-                flows_bwd[s], flows_fwd[s], pyr_c[s],
-                jax.lax.stop_gradient(out["weights"][b:]),
-            )
-            err = reg["s_sx"] / (h_s * (w_s - 2) * 2) + reg["s_sy"] / (
-                (h_s - 2) * w_s * 2
-            )
-            loss_smooth = loss_smooth + err / 2.0
-            occ_mean = 1.0 - out["s_w"][b:] / hw  # mean(1 - w_fwd)
-            loss_consis = loss_consis + (reg["s_consis"] / (hw * 2)) / (
-                occ_mean + 1e-12
-            )
+            if cfg.use_pallas_reg:
+                # fused smoothness + fb-consistency sums (reference
+                # denominators applied here; ops/pallas_regularizer.py).
+                # NOTE measured ~2.5 ms SLOWER than the XLA composition at
+                # the KITTI recipe (XLA fuses the loss tail well) — kept as
+                # an option and for the on-chip validation surface, off by
+                # default.
+                reg = regularizer_pack(
+                    flows_bwd[s], flows_fwd[s], pyr_c[s],
+                    jax.lax.stop_gradient(out["weights"][b:]),
+                )
+                err = reg["s_sx"] / (h_s * (w_s - 2) * 2) + reg["s_sy"] / (
+                    (h_s - 2) * w_s * 2
+                )
+                loss_smooth = loss_smooth + err / 2.0
+                occ_mean = 1.0 - out["s_w"][b:] / hw  # mean(1 - w_fwd)
+                loss_consis = loss_consis + (reg["s_consis"] / (hw * 2)) / (
+                    occ_mean + 1e-12
+                )
     else:
         # one warp dispatch per scale for both directions (gathers on TPU
         # are index-rate-bound; packing halves fixed per-dispatch overhead).
@@ -213,7 +226,7 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
         loss_pixel = losses.masked_diff_loss(diffs, weights, ns)
         loss_ssim = losses.masked_ssim_loss(pyr_cc, warped_lr, weights, ns)
 
-    if fused:
+    if fused and cfg.use_pallas_reg:
         smooth = loss_smooth
         consis = loss_consis
     else:

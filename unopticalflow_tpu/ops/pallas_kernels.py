@@ -16,8 +16,10 @@ with block indices (i, i+1) — with tile height TH >= 2 md the two consecutive
 row-blocks cover every (TH + 2 md) window (assembled by sublane slicing).
 W shifts are (unaligned) lane slices of the 2 md-wider block.
 
-Backward: registered as a custom VJP on one FUSED sibling kernel
-(``_corr_dboth_kernel``) that emits both gradients in a single pass —
+Backward: registered as a custom VJP built from two sibling kernels with
+the same window machinery (a single fused df1+df2 kernel was measured ~65%
+SLOWER on v5e — 8.7 vs 5.3 ms at the KITTI recipe; Mosaic pipelines the
+6-input/2-output variant poorly — so the pair stands) —
     fwd:  cv[p, k]  = 1/C * sum_c f1[p, c] * f2p[p + s_k, c]
     df1:  df1[p, c] = 1/C * sum_k g[p, k] * f2p[p + s_k, c]
     df2:  df2[q, c] = 1/C * sum_k gp[q + s'_k, rev(k)] * f1p[q + s'_k, c]
@@ -65,40 +67,33 @@ def _corr_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, md, tile_h, w):
 
 
 
-def _corr_dboth_kernel(
-    ga_ref, gb_ref, f1a_ref, f1b_ref, f2a_ref, f2b_ref,
-    df1_ref, df2_ref, acc1, acc2, *, md, tile_h, w,
-):
-    """Fused backward: df1 and df2 in one pass over the displacement loop.
 
-    The separate df1/df2 kernels each re-read the (81-channel) cotangent from
-    HBM and re-assemble the halo windows; fusing them shares the g window
-    assembly, reads g once, and halves the per-tile fixed cost — measured
-    ~30% faster than the two-kernel backward at the KITTI recipe.
-        df1[p, c] = 1/C * sum_k g[p, k]              * f2p[p + s_k,  c]
-        df2[q, c] = 1/C * sum_k gp[q + s'_k, rev(k)] * f1p[q + s'_k, c]
-    """
+def _corr_df1_kernel(g_ref, f2a_ref, f2b_ref, out_ref, acc, *, md, tile_h, w):
     side = 2 * md + 1
-    inv_c = 1.0 / df1_ref.shape[1]
-    acc1[...] = jnp.zeros_like(acc1)
-    acc2[...] = jnp.zeros_like(acc2)
-    # center rows/cols of the halo'd cotangent = the unshifted g tile
-    g_center = _rows(ga_ref, gb_ref, md, tile_h, axis=1)[:, :, md : md + w]
+    inv_c = 1.0 / out_ref.shape[1]
+    acc[...] = jnp.zeros_like(acc)
     for dy in range(side):
-        gwin = _rows(ga_ref, gb_ref, dy, tile_h, axis=1)
-        f1win = _rows(f1a_ref, f1b_ref, dy, tile_h, axis=1)
-        f2win = _rows(f2a_ref, f2b_ref, dy, tile_h, axis=1)
+        win = _rows(f2a_ref, f2b_ref, dy, tile_h, axis=1)
         for dx in range(side):
-            k = dy * side + dx
-            krev = (2 * md - dy) * side + (2 * md - dx)
-            gk = g_center[k].astype(jnp.float32)  # (TH, W)
-            f2s = f2win[:, :, dx : dx + w].astype(jnp.float32)
-            acc1[...] += gk[None] * f2s
-            gq = gwin[krev, :, dx : dx + w].astype(jnp.float32)
-            f1s = f1win[:, :, dx : dx + w].astype(jnp.float32)
-            acc2[...] += gq[None] * f1s
-    df1_ref[0] = (acc1[...] * inv_c).astype(df1_ref.dtype)
-    df2_ref[0] = (acc2[...] * inv_c).astype(df2_ref.dtype)
+            gk = g_ref[0, dy * side + dx].astype(jnp.float32)  # (TH, W)
+            f2s = win[:, :, dx : dx + w].astype(jnp.float32)  # (C, TH, W)
+            acc[...] += gk[None] * f2s
+    out_ref[0] = (acc[...] * inv_c).astype(out_ref.dtype)
+
+
+def _corr_df2_kernel(ga_ref, gb_ref, f1a_ref, f1b_ref, out_ref, acc, *, md, tile_h, w):
+    side = 2 * md + 1
+    inv_c = 1.0 / out_ref.shape[1]
+    acc[...] = jnp.zeros_like(acc)
+    for dyp in range(side):
+        gwin = _rows(ga_ref, gb_ref, dyp, tile_h, axis=1)  # (81, TH, W+2md)
+        fwin = _rows(f1a_ref, f1b_ref, dyp, tile_h, axis=1)  # (C, TH, W+2md)
+        for dxp in range(side):
+            k = (2 * md - dyp) * side + (2 * md - dxp)  # rev(k)
+            gk = gwin[k, :, dxp : dxp + w].astype(jnp.float32)  # (TH, W)
+            f1s = fwin[:, :, dxp : dxp + w].astype(jnp.float32)  # (C, TH, W)
+            acc[...] += gk[None] * f1s
+    out_ref[0] = (acc[...] * inv_c).astype(out_ref.dtype)
 
 
 def _pick_tile_h(h: int, w: int, c: int, md: int) -> int:
@@ -162,40 +157,47 @@ def _corr_fwd_nchw(f1, f2, md):
 
 
 
-def _corr_dboth_nchw(g, f1, f2, md):
+
+def _corr_df1_nchw(g, f2, md):
+    bsz, c, h, w = f2.shape
+    nd = (2 * md + 1) ** 2
+    tile_h = _pick_tile_h(h, w, c, md)
+    n_tiles = h // tile_h
+    f2q = _halo_pad(f2, md, tile_h, n_tiles)
+    return pl.pallas_call(
+        functools.partial(_corr_df1_kernel, md=md, tile_h=tile_h, w=w),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            _block(nd, tile_h, w, 0),
+            _block(c, tile_h, w + 2 * md, 0),
+            _block(c, tile_h, w + 2 * md, 1),
+        ],
+        out_specs=_block(c, tile_h, w, 0),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, h, w), f2.dtype),
+        scratch_shapes=[pltpu.VMEM((c, tile_h, w), jnp.float32)],
+    )(g, f2q, f2q)
+
+
+def _corr_df2_nchw(g, f1, md):
     bsz, c, h, w = f1.shape
     nd = (2 * md + 1) ** 2
-    tile_h = _pick_tile_h(h, w, 2 * c + nd, md)
+    tile_h = _pick_tile_h(h, w, c + nd, md)
     n_tiles = h // tile_h
     gq = _halo_pad(g, md, tile_h, n_tiles)
     f1q = _halo_pad(f1, md, tile_h, n_tiles)
-    f2q = _halo_pad(f2, md, tile_h, n_tiles)
     return pl.pallas_call(
-        functools.partial(_corr_dboth_kernel, md=md, tile_h=tile_h, w=w),
+        functools.partial(_corr_df2_kernel, md=md, tile_h=tile_h, w=w),
         grid=(bsz, n_tiles),
         in_specs=[
             _block(nd, tile_h, w + 2 * md, 0),
             _block(nd, tile_h, w + 2 * md, 1),
             _block(c, tile_h, w + 2 * md, 0),
             _block(c, tile_h, w + 2 * md, 1),
-            _block(c, tile_h, w + 2 * md, 0),
-            _block(c, tile_h, w + 2 * md, 1),
         ],
-        out_specs=(_block(c, tile_h, w, 0), _block(c, tile_h, w, 0)),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, c, h, w), f1.dtype),
-            jax.ShapeDtypeStruct((bsz, c, h, w), f2.dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((c, tile_h, w), jnp.float32),
-            pltpu.VMEM((c, tile_h, w), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bsz * h * w * c * nd,
-            bytes_accessed=(4 * bsz * h * w * c + 2 * bsz * h * w * nd) * 2,
-            transcendentals=0,
-        ),
-    )(gq, gq, f1q, f1q, f2q, f2q)
+        out_specs=_block(c, tile_h, w, 0),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, h, w), f1.dtype),
+        scratch_shapes=[pltpu.VMEM((c, tile_h, w), jnp.float32)],
+    )(gq, gq, f1q, f1q)
 
 
 def _supported(h: int, md: int) -> bool:
@@ -229,7 +231,8 @@ def _bwd(md, res, g):
     gc = jnp.transpose(g, (0, 3, 1, 2))
     f1c = jnp.transpose(f1, (0, 3, 1, 2))
     f2c = jnp.transpose(f2, (0, 3, 1, 2))
-    df1, df2 = _corr_dboth_nchw(gc, f1c, f2c, md)
+    df1 = _corr_df1_nchw(gc, f2c, md)
+    df2 = _corr_df2_nchw(gc, f1c, md)
     return (
         jnp.transpose(df1, (0, 2, 3, 1)),
         jnp.transpose(df2, (0, 2, 3, 1)),

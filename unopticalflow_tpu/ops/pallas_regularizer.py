@@ -87,20 +87,26 @@ def _smooth_terms(g, img, row0, h_img):
 
 
 def _smooth_dflow(g, img, row0, h_img, cot_x, cot_y):
-    """d(sum cot_x S_x + cot_y S_y)/d g for the center rows -> (2, TH, W)."""
+    """d(sum cot_x S_x + cot_y S_y)/d g for the center rows -> (2, TH, W).
+
+    The x-stencil runs over the FULL (TH+4)-row window and row-slices at the
+    end: lane pads of a row-sliced operand carry a sublane vpad offset that
+    Mosaic's concat lowering rejects ("offset mismatch on non-concat
+    dimension"); at offset 0 the same pad lowers fine.
+    """
     th = g.shape[1] - 4
     w = g.shape[-1]
     cc = slice(2, th + 2)
 
-    gc = g[:, cc]
-    dx2 = gc[:, :, 2:] - 2.0 * gc[:, :, 1:-1] + gc[:, :, :-2]
-    imc = img[:, cc]
-    wx = _edge_w(imc[:, :, 1:], imc[:, :, :-1])
-    # sx[., j] = wx[., j+1] sign(dx2[., j]) on lanes [0, W-3], zero beyond
-    sx = jnp.pad(
-        jnp.sign(dx2) * wx[None, :, 1 : w - 1], ((0, 0), (0, 0), (0, 2))
+    dx2w = g[:, :, 2:] - 2.0 * g[:, :, 1:-1] + g[:, :, :-2]  # (2, TH+4, W-2)
+    wxw = _edge_w(img[:, :, 1:], img[:, :, :-1])  # (TH+4, W-1)
+    # sx[., j] = wx[., j+1] sign(dx2[., j]) on lanes [0, W-3], zero beyond.
+    # (slice-then-expand: wx[None, :, sl] lowers to a Mosaic-rejected gather)
+    sxw = jnp.pad(
+        jnp.sign(dx2w) * wxw[:, 1 : w - 1][None], ((0, 0), (0, 0), (0, 2))
     )
-    dgx = sx - 2.0 * _shift_right(sx, 1) + _shift_right(sx, 2)
+    dgx_w = sxw - 2.0 * _shift_right(sxw, 1) + _shift_right(sxw, 2)
+    dgx = dgx_w[:, cc]
 
     # sy over term rows i = t0 - 2 + il, il in [0, TH+2)
     dy2w = g[:, 2 : th + 4] - 2.0 * g[:, 1 : th + 3] + g[:, 0 : th + 2]
@@ -156,7 +162,7 @@ def _reg_fwd_kernel(fb_a, fb_b, ff_a, ff_b, im_a, im_b, wf_a, wf_b, sums_out,
     sxb, syb = _smooth_terms(fb * inv20, img, row0, h_img)
     sxf, syf = _smooth_terms(ff * inv20, img, row0, h_img)
     cc = slice(2, tile_h + 2)
-    s_c, _, _, _ = _consis_terms(fb[:, cc], ff[:, cc], wf[0, cc])
+    s_c, _, _, _ = _consis_terms(fb[:, cc], ff[:, cc], wf[0][cc])
 
     vec = jnp.concatenate(
         [
@@ -191,7 +197,7 @@ def _reg_bwd_kernel(fb_a, fb_b, ff_a, ff_b, im_a, im_b, wf_a, wf_b, g_ref,
     d_ff = _smooth_dflow(ff * inv20, img, row0, h_img, g_sxf, g_syf) * inv20
 
     cc = slice(2, tile_h + 2)
-    _, r, nf, occ = _consis_terms(fb[:, cc], ff[:, cc], wf[0, cc])
+    _, r, nf, occ = _consis_terms(fb[:, cc], ff[:, cc], wf[0][cc])
     d_ff = d_ff + _consis_dflow(ff[:, cc], r, nf, occ, g_c)
 
     dflow_out[0, 0:2] = d_fb.astype(dflow_out.dtype)
