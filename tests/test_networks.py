@@ -117,6 +117,7 @@ def test_loss_pack_parity(params, sd):
         np.testing.assert_allclose(got, want[k].detach().numpy(), rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_loss_gradients_finite(params):
     images = jnp.asarray(RNG.rand(1, 3 * 64, 64, 3).astype(np.float32))
     # bf16 compute: this checks gradient plumbing (finite + reaches every

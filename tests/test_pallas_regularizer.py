@@ -52,6 +52,7 @@ def test_forward_matches_reference(interpret_pack):
         )
 
 
+@pytest.mark.slow
 def test_flow_vjp_matches_reference(interpret_pack):
     flow_b, flow_f, img, w_fwd = _case()
     # weight the three sums differently so a cross-wired cotangent is caught
@@ -89,6 +90,7 @@ def test_consis_grad_only_reaches_fwd(interpret_pack):
     assert float(jnp.max(jnp.abs(g_f))) > 0.0
 
 
+@pytest.mark.slow
 def test_full_forward_fused_regularizer_matches_unfused(interpret_pack):
     """forward() with use_pallas_photo routes smooth/consis through the
     fused kernel; pack must match the plain-JAX forward."""

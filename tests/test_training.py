@@ -66,6 +66,7 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     """DP over the 8-CPU mesh must produce the same update as one device."""
     params = init_flow_model(jax.random.PRNGKey(0))
