@@ -1,0 +1,106 @@
+"""Serving surface: dynamic batching engine + HTTP endpoint (CPU)."""
+
+import json
+import threading
+import types
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from unopticalflow_tpu.models import FlowModelConfig, init_flow_model
+
+H, W = 64, 64
+RNG = np.random.RandomState(13)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import serve
+
+    cfg = types.SimpleNamespace(img_hw=(H, W), num_scales=3)
+    params = init_flow_model(jax.random.PRNGKey(0))
+    srv = serve.FlowServer(
+        cfg, params, FlowModelConfig(num_scales=3), max_batch=4, max_wait_ms=20,
+    )
+    yield srv
+    srv.close()
+
+
+def test_single_inference(engine):
+    pair = RNG.rand(2 * H, W, 3).astype(np.float32)
+    flow = engine.infer(pair)
+    assert flow.shape == (H, W, 2)
+    assert np.isfinite(flow).all()
+
+
+def test_concurrent_requests_batch_together(engine):
+    pairs = [RNG.rand(2 * H, W, 3).astype(np.float32) for _ in range(4)]
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = engine.infer(pairs[i])
+
+    before = engine.stats["batches"]
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and r.shape == (H, W, 2) for r in results)
+    # concurrent arrivals share batches: 4 requests in at most 3 dispatches
+    assert engine.stats["batches"] - before <= 3
+    # padding rows must not leak: same pair solo == same pair batched
+    solo = engine.infer(pairs[0])
+    np.testing.assert_allclose(solo, results[0], rtol=1e-5, atol=1e-5)
+
+
+def test_http_endpoint(engine, tmp_path):
+    import cv2
+    from http.server import ThreadingHTTPServer
+
+    import serve
+
+    cfg = types.SimpleNamespace(img_hw=(H, W))
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve.make_handler(engine, cfg)
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["img_hw"] == [H, W]
+
+        img = RNG.randint(0, 255, (2 * H, W, 3), np.uint8)
+        ok, png = cv2.imencode(".png", img)
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/flow", data=png.tobytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = r.read()
+        # Middlebury .flo: magic, W, H, then H*W*2 f32
+        assert np.frombuffer(body[:4], np.float32)[0] == np.float32(202021.25)
+        w, h = np.frombuffer(body[4:12], np.int32)
+        assert (w, h) == (W, H)
+        flow = np.frombuffer(body[12:], np.float32).reshape(h, w, 2)
+        assert np.isfinite(flow).all()
+
+        # error path: garbage body -> 400 with a JSON error
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/flow", data=b"notanimage", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        httpd.shutdown()
