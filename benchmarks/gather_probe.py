@@ -99,6 +99,18 @@ def main():
         return jnp.take_along_axis(pad, idx, axis=1)
 
     @jax.jit
+    def flat_u32(img, idx):
+        # the combination the no-grad loss path could use: u32-paired rows
+        # fetched by ONE flat jnp.take with batch-offset indices
+        u = jax.lax.bitcast_convert_type(img.reshape(b, src_n, 6, 2), jnp.uint32)
+        fi = u.reshape(b * src_n, 6)
+        off = (jnp.arange(b, dtype=jnp.int32) * src_n)[:, None, None]
+        out = jnp.take(fi, (idx + off).reshape(-1), axis=0)
+        return jax.lax.bitcast_convert_type(
+            out.reshape(b, hw, 6), jnp.bfloat16
+        ).reshape(b, hw, c)
+
+    @jax.jit
     def taa_u32x6(img, idx):
         # bitcast channel pairs to u32: halves the lane width per row
         u = jax.lax.bitcast_convert_type(img.reshape(b, src_n, 6, 2), jnp.uint32)
@@ -123,6 +135,7 @@ def main():
     results["taa_pad16"] = timeit(taa_pad16, img, idx)
     results["taa_pad128"] = timeit(taa_pad128, img, idx)
     results["taa_u32x6"] = timeit(taa_u32x6, img, idx)
+    results["flat_u32"] = timeit(flat_u32, img, idx)
     for k in (4, 16):
         results[f"taa_chunk{k}"] = timeit(make_chunked(k), img, idx)
 

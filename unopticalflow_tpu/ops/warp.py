@@ -23,20 +23,30 @@ import jax
 import jax.numpy as jnp
 
 
-def _gather_hw(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+def _gather_hw(
+    img: jax.Array, iy: jax.Array, ix: jax.Array, flat: bool = False
+) -> jax.Array:
     """Gather img[b, iy[b,h,w], ix[b,h,w], :] -> (B, H, W, C).
 
     Indices must already be clipped to the valid range.
 
-    Formulation note (v5e, measured in the full jitted train step): the
-    batched ``take_along_axis`` row-gather composes best end-to-end; a flat
+    Formulation note (v5e, measured): for DIFFERENTIABLE gathers the batched
+    ``take_along_axis`` row-gather composes best end-to-end — the flat
     ``jnp.take`` over (B*H*W, C) is faster standalone but its scatter-add
-    transpose is ~4x slower in-graph.
+    transpose is ~4x slower in-graph.  ``flat=True`` selects the flat form
+    for no-grad paths (the u32-packed loss warps), where it runs ~11%
+    faster (4.55 vs 5.10 ns/row, benchmarks/gather_probe.py).
     """
     b, h, w, c = img.shape
-    flat = img.reshape(b, h * w, c)
+    if flat:
+        fi = img.reshape(b * h * w, c)
+        off = (jnp.arange(b, dtype=jnp.int32) * (h * w)).reshape(b, 1, 1)
+        idx = (iy * w + ix + off).reshape(-1)
+        out = jnp.take(fi, idx, axis=0)
+        return out.reshape(b, iy.shape[1], iy.shape[2], c)
+    flat2 = img.reshape(b, h * w, c)
     idx = (iy * w + ix).reshape(b, -1, 1)
-    out = jnp.take_along_axis(flat, idx, axis=1)
+    out = jnp.take_along_axis(flat2, idx, axis=1)
     return out.reshape(b, iy.shape[1], iy.shape[2], c)
 
 
@@ -137,7 +147,8 @@ def _gather_corners(img, corners, img_hw, gather_u32=False):
         u = jax.lax.bitcast_convert_type(
             packed.reshape(b, hp, wp, c4 // 2, 2), jnp.uint32
         )
-        four_u = _gather_hw(u.reshape(b, hp, wp, c4 // 2), iy, ix)
+        # flat take: valid here because this path carries no gradient
+        four_u = _gather_hw(u.reshape(b, hp, wp, c4 // 2), iy, ix, flat=True)
         # u32 -> bf16 bitcast appends a trailing pair dim; fold it back
         four = jax.lax.bitcast_convert_type(four_u, jnp.bfloat16).reshape(
             b, iy.shape[1], iy.shape[2], c4
