@@ -111,6 +111,59 @@ def main():
         ).reshape(b, hw, c)
 
     @jax.jit
+    def flat_u32_pad8(img, idx):
+        u = jax.lax.bitcast_convert_type(img.reshape(b, src_n, 6, 2), jnp.uint32)
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, 2)))
+        fi = u.reshape(b * src_n, 8)
+        off = (jnp.arange(b, dtype=jnp.int32) * src_n)[:, None, None]
+        out = jnp.take(fi, (idx + off).reshape(-1), axis=0)[:, :6]
+        return jax.lax.bitcast_convert_type(
+            out.reshape(b, hw, 6), jnp.bfloat16
+        ).reshape(b, hw, c)
+
+    @jax.jit
+    def flat_u32_2x(img, idx):
+        u = jax.lax.bitcast_convert_type(img.reshape(b, src_n, 6, 2), jnp.uint32)
+        fi = u.reshape(b * src_n, 6)
+        off = (jnp.arange(b, dtype=jnp.int32) * src_n)[:, None, None]
+        fidx = (idx + off).reshape(-1)
+        half = fidx.shape[0] // 2
+        out = jnp.concatenate(
+            [jnp.take(fi, fidx[:half], axis=0), jnp.take(fi, fidx[half:], axis=0)], 0
+        )
+        return jax.lax.bitcast_convert_type(
+            out.reshape(b, hw, 6), jnp.bfloat16
+        ).reshape(b, hw, c)
+
+    def make_flat_split(k):
+        @jax.jit
+        def flat_u32_kx(img, idx):
+            u = jax.lax.bitcast_convert_type(img.reshape(b, src_n, 6, 2), jnp.uint32)
+            fi = u.reshape(b * src_n, 6)
+            off = (jnp.arange(b, dtype=jnp.int32) * src_n)[:, None, None]
+            fidx = (idx + off).reshape(-1)
+            n = fidx.shape[0] // k
+            out = jnp.concatenate(
+                [jnp.take(fi, fidx[i * n : (i + 1) * n], axis=0) for i in range(k)], 0
+            )
+            return jax.lax.bitcast_convert_type(
+                out.reshape(b, hw, 6), jnp.bfloat16
+            ).reshape(b, hw, c)
+        return flat_u32_kx
+
+    @jax.jit
+    def flat_u32_sorted(img, idx):
+        # does index order matter at all for the flat take?
+        u = jax.lax.bitcast_convert_type(img.reshape(b, src_n, 6, 2), jnp.uint32)
+        fi = u.reshape(b * src_n, 6)
+        off = (jnp.arange(b, dtype=jnp.int32) * src_n)[:, None, None]
+        fidx = jnp.sort((idx + off).reshape(-1))
+        out = jnp.take(fi, fidx, axis=0)
+        return jax.lax.bitcast_convert_type(
+            out.reshape(b, hw, 6), jnp.bfloat16
+        ).reshape(b, hw, c)
+
+    @jax.jit
     def taa_u32x6(img, idx):
         # bitcast channel pairs to u32: halves the lane width per row
         u = jax.lax.bitcast_convert_type(img.reshape(b, src_n, 6, 2), jnp.uint32)
@@ -136,6 +189,11 @@ def main():
     results["taa_pad128"] = timeit(taa_pad128, img, idx)
     results["taa_u32x6"] = timeit(taa_u32x6, img, idx)
     results["flat_u32"] = timeit(flat_u32, img, idx)
+    results["flat_u32_pad8"] = timeit(flat_u32_pad8, img, idx)
+    results["flat_u32_2x"] = timeit(flat_u32_2x, img, idx)
+    results["flat_u32_sorted"] = timeit(flat_u32_sorted, img, idx)
+    for k in (4, 8, 16):
+        results[f"flat_u32_{k}x"] = timeit(make_flat_split(k), img, idx)
     for k in (4, 16):
         results[f"taa_chunk{k}"] = timeit(make_chunked(k), img, idx)
 

@@ -39,7 +39,10 @@ def adaptive_avg_pool(img: jax.Array, out_hw) -> jax.Array:
     if h % oh == 0 and w % ow == 0:
         kh, kw = h // oh, w // ow
         # reshape + mean instead of lax.reduce_window (the TPU reduce-window
-        # emitter is far slower than this fusable reshape-reduce form)
+        # emitter is far slower than this fusable reshape-reduce form).
+        # NOTE a two-stage variant (H-pool on a W*C-folded view, then W-pool)
+        # was A/B'd on-chip and is perf-neutral (74.0 vs 73.7 ms/step) — XLA
+        # already schedules this joint reduce well; keep the simple form.
         b, _, _, c = img.shape
         s = img.reshape(b, oh, kh, ow, kw, c).sum(axis=(2, 4), dtype=img.dtype)
         return s * jnp.asarray(1.0 / (kh * kw), img.dtype)
