@@ -146,6 +146,71 @@ def test_upsample2x_double():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_warp_gradients_match_torch(use_mask):
+    """VJPs of bilinear_warp (img AND flow) vs torch grid_sample autodiff.
+
+    Exercises the custom-VJP gather (_gather_hw_diff: flat-take forward,
+    batched-scatter backward) on the differentiable decoder-warp path.
+    """
+    import jax
+
+    rng = np.random.RandomState(7)
+    img = rng.randn(2, 9, 13, 4).astype(np.float32)
+    # keep sampling positions off exact integers where the bilinear kink
+    # makes the subgradient convention-dependent
+    flow = (rng.randn(2, 9, 13, 2) * 3.0 + 0.3).astype(np.float32)
+    g = rng.randn(2, 9, 13, 4).astype(np.float32)  # fixed cotangent
+
+    # torch oracle
+    x = nchw(img).requires_grad_(True)
+    fl = nchw(flow).requires_grad_(True)
+    b, _, h, w = x.shape
+    gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    grid = torch.stack([gx, gy]).float()[None].repeat(b, 1, 1, 1)
+    v = grid + fl
+    v = torch.stack(
+        [2.0 * v[:, 0] / max(w - 1, 1) - 1.0, 2.0 * v[:, 1] / max(h - 1, 1) - 1.0], 1
+    ).permute(0, 2, 3, 1)
+    out = F.grid_sample(x, v, align_corners=True)
+    if use_mask:
+        with torch.no_grad():
+            m = F.grid_sample(torch.ones_like(x), v, align_corners=True)
+            m = (m >= 0.9999).float()
+        out = out * m
+    out.backward(nchw(g))
+    want_dimg = to_nhwc(x.grad)
+    want_dflow = to_nhwc(fl.grad)
+
+    # jax VJP through the custom-VJP gather
+    _, vjp = jax.vjp(
+        lambda i, f: bilinear_warp(i, f, use_mask), jnp.asarray(img), jnp.asarray(flow)
+    )
+    got_dimg, got_dflow = vjp(jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(got_dimg), want_dimg, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dflow), want_dflow, rtol=1e-4, atol=1e-3)
+
+
+def test_gather_hw_diff_vjp_matches_autodiff():
+    """The hand-written scatter VJP equals take_along_axis autodiff exactly."""
+    import jax
+
+    from unopticalflow_tpu.ops.warp import _gather_hw, _gather_hw_diff
+
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.randn(3, 6, 8, 5).astype(np.float32))
+    iy = jnp.asarray(rng.randint(0, 6, (3, 4, 7)), jnp.int32)
+    ix = jnp.asarray(rng.randint(0, 8, (3, 4, 7)), jnp.int32)
+    g = jnp.asarray(rng.randn(3, 4, 7, 5).astype(np.float32))
+
+    out, vjp = jax.vjp(lambda im: _gather_hw_diff(im, iy, ix), img)
+    ref_out, ref_vjp = jax.vjp(lambda im: _gather_hw(im, iy, ix), img)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_allclose(
+        np.asarray(vjp(g)[0]), np.asarray(ref_vjp(g)[0]), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_warp_gather_u32_path_matches():
     """The u32-bitcast gather path is bit-identical to the bf16 gather."""
     rng = np.random.RandomState(5)

@@ -30,12 +30,13 @@ def _gather_hw(
 
     Indices must already be clipped to the valid range.
 
-    Formulation note (v5e, measured): for DIFFERENTIABLE gathers the batched
-    ``take_along_axis`` row-gather composes best end-to-end — the flat
-    ``jnp.take`` over (B*H*W, C) is faster standalone but its scatter-add
-    transpose is ~4x slower in-graph.  ``flat=True`` selects the flat form
-    for no-grad paths (the u32-packed loss warps), where it runs ~11%
-    faster (4.55 vs 5.10 ns/row, benchmarks/gather_probe.py).
+    Formulation note (v5e, measured): the flat ``jnp.take`` over (B*H*W, C)
+    is the fastest forward (~11% over ``take_along_axis``: 4.55 vs 5.10
+    ns/row, benchmarks/gather_probe.py) but its OWN transpose — a flat
+    scatter — is ~4x slower in-graph.  No-grad paths (the u32-packed loss
+    warps) use ``flat=True`` directly; differentiable paths go through
+    ``_gather_hw_diff`` below, which pairs the flat forward with a
+    hand-written batched-scatter VJP (the ``take_along_axis`` adjoint).
     """
     b, h, w, c = img.shape
     if flat:
@@ -48,6 +49,47 @@ def _gather_hw(
     idx = (iy * w + ix).reshape(b, -1, 1)
     out = jnp.take_along_axis(flat2, idx, axis=1)
     return out.reshape(b, iy.shape[1], iy.shape[2], c)
+
+
+@jax.custom_vjp
+def _gather_hw_diff(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+    """Differentiable row gather: flat-take forward, batched-scatter backward.
+
+    Decouples the two formulations: the flat ``jnp.take`` forward is ~11%
+    faster per row than ``take_along_axis`` (benchmarks/gather_probe.py), but
+    its OWN transpose (a flat scatter over B*H*W rows) is ~4x slower — so the
+    hand-written VJP scatters in the batched (B, H*W, C) form, exactly the
+    adjoint XLA builds for ``take_along_axis``.
+    """
+    return _gather_hw(img, iy, ix, flat=True)
+
+
+def _ghd_fwd(img, iy, ix):
+    # dtype token: residuals must be JAX types, so carry an empty array
+    token = jnp.zeros((0,) + img.shape, img.dtype)
+    return _gather_hw(img, iy, ix, flat=True), (token, iy, ix)
+
+
+def _ghd_bwd(res, g):
+    import numpy as _np
+
+    from jax import dtypes as _dtypes
+
+    token, iy, ix = res
+    _, b, h, w, c = token.shape
+    idx = (iy * w + ix).reshape(b, -1)
+    g2 = g.reshape(b, idx.shape[1], c)
+    d = (
+        jnp.zeros((b, h * w, c), g2.dtype)
+        .at[jnp.arange(b)[:, None], idx]
+        .add(g2)
+    )
+    zero_i = _np.zeros(iy.shape, _dtypes.float0)
+    zero_x = _np.zeros(ix.shape, _dtypes.float0)
+    return d.reshape(b, h, w, c).astype(token.dtype), zero_i, zero_x
+
+
+_gather_hw_diff.defvjp(_ghd_fwd, _ghd_bwd)
 
 
 def _corner_weights(img_hw, x, y):
@@ -154,7 +196,7 @@ def _gather_corners(img, corners, img_hw, gather_u32=False):
             b, iy.shape[1], iy.shape[2], c4
         )
     else:
-        four = _gather_hw(packed, iy, ix)  # (B, H, W, 4C)
+        four = _gather_hw_diff(packed, iy, ix)  # (B, H, W, 4C)
     return four
 
 
