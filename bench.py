@@ -103,13 +103,16 @@ def bench_train(batch, img_hw, iters, compute_dtype, use_pallas):
                       "steps_per_window": k,
                       "profile": "benchmarks/PROFILE_r03.md",
                       "device_ms_attrib": {
-                          "warp_gathers": 26.3, "convs": 20.1,
-                          "scatters_copies": 8.3, "pallas_corr": 5.9,
-                          "pallas_photometric": 3.6, "formatting": 7.4,
-                          "loop_fusions": 7.3, "rest": 2.9,
+                          # 72.9 ms device trace, benchmarks/trace_step.py
+                          # after the custom-VJP flat-take decoder gathers
+                          "warp_gathers_incl_loop_lowering": 17.6,
+                          "convs": 20.0, "scatters_copies": 6.5,
+                          "pallas_corr": 5.9, "pallas_photometric": 4.0,
+                          "formatting": 7.7, "loop_fusions": 8.7,
+                          "rest": 2.5,
                       },
                       "model_tflop_per_step": 1.95,
-                      "effective_mfu_pct": 13.1}), file=sys.stderr)
+                      "effective_mfu_pct": 13.6}), file=sys.stderr)
     return batch / med, float(metrics["loss_total"])
 
 
