@@ -97,22 +97,29 @@ def bench_train(batch, img_hw, iters, compute_dtype, use_pallas):
         window_ms.append((time.perf_counter() - t0) * 1e3 / k)
     med = float(np.median(window_ms)) / 1e3
     spread = float(np.percentile(window_ms, 75) - np.percentile(window_ms, 25))
-    print(json.dumps({"median_step_ms": round(med * 1e3, 2),
-                      "window_iqr_ms": round(spread, 2),
-                      "windows": [round(x, 1) for x in window_ms],
-                      "steps_per_window": k,
-                      "profile": "benchmarks/PROFILE_r03.md",
-                      "device_ms_attrib": {
-                          # 72.9 ms device trace, benchmarks/trace_step.py
-                          # after the custom-VJP flat-take decoder gathers
-                          "warp_gathers_incl_loop_lowering": 17.6,
-                          "convs": 20.0, "scatters_copies": 6.5,
-                          "pallas_corr": 5.9, "pallas_photometric": 4.0,
-                          "formatting": 7.7, "loop_fusions": 8.7,
-                          "rest": 2.5,
-                      },
-                      "model_tflop_per_step": 1.95,
-                      "effective_mfu_pct": 13.6}), file=sys.stderr)
+    diag = {"median_step_ms": round(med * 1e3, 2),
+            "window_iqr_ms": round(spread, 2),
+            "windows": [round(x, 1) for x in window_ms],
+            "steps_per_window": k}
+    if (batch, tuple(img_hw), compute_dtype, use_pallas) == (
+        8, (256, 832), "bfloat16", True
+    ):
+        # recipe-only: this attribution is a committed trace of THIS exact
+        # configuration (benchmarks/trace_step.py); other shapes/dtypes have
+        # different breakdowns — run trace_step.py to attribute them.
+        diag.update({
+            "profile": "benchmarks/PROFILE_r03.md",
+            "device_ms_attrib": {
+                "warp_gathers_incl_loop_lowering": 17.6,
+                "convs": 20.0, "scatters_copies": 6.5,
+                "pallas_corr": 5.9, "pallas_photometric": 4.0,
+                "formatting": 7.7, "loop_fusions": 8.7,
+                "rest": 2.5,
+            },
+            "model_tflop_per_step": 1.95,
+            "effective_mfu_pct": 13.6,
+        })
+    print(json.dumps(diag), file=sys.stderr)
     return batch / med, float(metrics["loss_total"])
 
 

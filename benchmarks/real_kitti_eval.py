@@ -50,9 +50,7 @@ def run_eval(
     """Evaluate a checkpoint on KITTI 2012 and/or 2015; returns metrics."""
     import jax
 
-    from test import test_kitti_2012, test_kitti_2015
     from unopticalflow_tpu.data import KITTI_2012, KITTI_2015
-    from unopticalflow_tpu.evaluation import load_gt_flow_kitti, load_gt_mask
     from unopticalflow_tpu.models import (
         FlowModelConfig,
         get_model,
@@ -77,9 +75,25 @@ def run_eval(
     infer = jax.jit(lambda i1, i2: inference_flow(params, model_cfg, i1, i2))
 
     results: dict = {"img_hw": list(img_hw), "checkpoint": pretrained_model}
+    # the eval helpers construct the dataset classes themselves, so a frame
+    # limit can only be injected via the class attribute — restore it in the
+    # finally below so later constructions in the same process see the full
+    # 194/200-frame defaults
+    saved_totals = (KITTI_2012.num_total, KITTI_2015.num_total)
     if limit is not None:
         KITTI_2012.num_total = limit
         KITTI_2015.num_total = limit
+    try:
+        return _run_eval_inner(
+            results, infer, img_hw, gt_2012_dir, gt_2015_dir, limit
+        )
+    finally:
+        KITTI_2012.num_total, KITTI_2015.num_total = saved_totals
+
+
+def _run_eval_inner(results, infer, img_hw, gt_2012_dir, gt_2015_dir, limit):
+    from test import test_kitti_2012, test_kitti_2015
+    from unopticalflow_tpu.evaluation import load_gt_flow_kitti, load_gt_mask
 
     if gt_2012_dir:
         cfg12 = types.SimpleNamespace(

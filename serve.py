@@ -49,13 +49,14 @@ from unopticalflow_tpu.utils.config import Config, load_yaml_config
 
 
 class _Request:
-    __slots__ = ("pair", "event", "flow", "error")
+    __slots__ = ("pair", "event", "flow", "error", "deadline")
 
-    def __init__(self, pair):
+    def __init__(self, pair, deadline):
         self.pair = pair  # (2H, W, 3) float32
         self.event = threading.Event()
         self.flow = None
         self.error = None
+        self.deadline = deadline  # perf_counter time after which nobody waits
 
 
 class FlowServer:
@@ -70,7 +71,8 @@ class FlowServer:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.queue: "queue.Queue[_Request]" = queue.Queue()
-        self.stats = {"served": 0, "batches": 0, "occupancy": [0] * (max_batch + 1)}
+        self.stats = {"served": 0, "batches": 0, "shed": 0,
+                      "occupancy": [0] * (max_batch + 1)}
         self._jax = jax
 
         fn = jax.jit(
@@ -84,12 +86,29 @@ class FlowServer:
         self._stop = threading.Event()
         self._thread.start()
 
+    def _shed_expired(self, req) -> bool:
+        """Load shedding: skip requests whose waiter has already timed out.
+
+        Under sustained overload the queue only grows; computing flow for a
+        request nobody is waiting for wastes device time that could serve
+        live traffic.  The waiter raised TimeoutError at its own deadline,
+        so completing the entry here would be unobservable anyway.
+        """
+        if req.deadline > time.perf_counter():
+            return False
+        req.error = TimeoutError("shed: queue wait exceeded request timeout")
+        req.event.set()
+        self.stats["shed"] += 1
+        return True
+
     def _loop(self):
         jnp = self._jax.numpy
         while not self._stop.is_set():
             try:
                 first = self.queue.get(timeout=0.1)
             except queue.Empty:
+                continue
+            if self._shed_expired(first):
                 continue
             batch = [first]
             deadline = time.perf_counter() + self.max_wait
@@ -98,9 +117,11 @@ class FlowServer:
                 if remaining <= 0:
                     break
                 try:
-                    batch.append(self.queue.get(timeout=remaining))
+                    nxt = self.queue.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if not self._shed_expired(nxt):
+                    batch.append(nxt)
             n = len(batch)
             try:
                 img1 = np.zeros((self.max_batch, self.h, self.w, 3), np.float32)
@@ -121,7 +142,7 @@ class FlowServer:
                 r.event.set()
 
     def infer(self, pair: np.ndarray, timeout=30.0) -> np.ndarray:
-        req = _Request(pair)
+        req = _Request(pair, time.perf_counter() + timeout)
         self.queue.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("inference timed out")
@@ -193,10 +214,16 @@ def make_handler(server: FlowServer, cfg):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 pair = _decode_pair(self.rfile.read(length), cfg.img_hw)
+            except Exception as e:  # malformed request -> client error
+                self._send(400, json.dumps({"error": str(e)}).encode())
+                return
+            try:
                 flow = server.infer(pair)
                 self._send(200, _encode_flo(flow), "application/octet-stream")
-            except Exception as e:
-                self._send(400, json.dumps({"error": str(e)}).encode())
+            except TimeoutError as e:  # overload -> retryable server error
+                self._send(503, json.dumps({"error": str(e)}).encode())
+            except Exception as e:  # device/internal fault -> server error
+                self._send(500, json.dumps({"error": str(e)}).encode())
 
     return Handler
 

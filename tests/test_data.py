@@ -173,7 +173,7 @@ def test_decoded_cache(prepared_dir, tmp_path):
     assert len(os.listdir(tmp_path / "cache")) > 0
 
 
-def test_kitti_raw_prepare_with_vendored_eigen_lists(tmp_path):
+def test_kitti_raw_prepare_with_vendored_eigen_lists(tmp_path, monkeypatch):
     """KITTI_RAW.prepare_data_mp on a synthetic raw tree, filtering with the
     REAL vendored Eigen split files (data/eigen/*.txt; reference ships the
     same tables, kitti_raw.py:73-98):
@@ -207,7 +207,23 @@ def test_kitti_raw_prepare_with_vendored_eigen_lists(tmp_path):
 
     out = tmp_path / "prepared"
     prep = KITTI_RAW(str(raw), static_txt, scenes_txt)
+
+    # the global train.txt is the completion sentinel multi-host waiters poll
+    # (train.py): the calib files must already be in place when it is written
+    import unopticalflow_tpu.data.preparers as preparers_mod
+
+    orig_concat = preparers_mod._concat_manifests
+    calib_present_at_sentinel = []
+
+    def checking_concat(output_dir, manifests):
+        calib_present_at_sentinel.append(
+            os.path.isfile(os.path.join(output_dir, date, "calib_cam_to_cam.txt"))
+        )
+        return orig_concat(output_dir, manifests)
+
+    monkeypatch.setattr(preparers_mod, "_concat_manifests", checking_concat)
     prep.prepare_data_mp(str(out), stride=1, num_processes=2)
+    assert calib_present_at_sentinel == [True]
 
     with open(out / "train.txt") as f:
         lines = [line.strip() for line in f if line.strip()]

@@ -57,6 +57,73 @@ def test_concurrent_requests_batch_together(engine):
     np.testing.assert_allclose(solo, results[0], rtol=1e-5, atol=1e-5)
 
 
+def test_expired_requests_are_shed(engine):
+    """Load shedding: the device loop skips requests whose waiter timed out."""
+    import time
+
+    import serve
+
+    expired = serve._Request(
+        np.zeros((2 * H, W, 3), np.float32), time.perf_counter() - 1.0
+    )
+    before = engine.stats["shed"]
+    engine.queue.put(expired)
+    # a live request enqueued behind it must still be served normally
+    flow = engine.infer(RNG.rand(2 * H, W, 3).astype(np.float32))
+    assert flow.shape == (H, W, 2)
+    assert expired.event.is_set()
+    assert isinstance(expired.error, TimeoutError)
+    assert engine.stats["shed"] == before + 1
+
+
+def test_handler_status_codes_for_server_faults():
+    """Decode errors are 400; overload is 503; internal faults are 500."""
+    import cv2
+    import urllib.error
+    from http.server import ThreadingHTTPServer
+
+    import serve
+
+    img = RNG.randint(0, 255, (2 * H, W, 3), np.uint8)
+    ok, png = cv2.imencode(".png", img)
+    assert ok
+    cfg = types.SimpleNamespace(img_hw=(H, W))
+
+    class Stub:
+        max_batch = 4
+        stats = {}
+
+        def __init__(self, exc):
+            self.exc = exc
+
+        def infer(self, pair):
+            raise self.exc
+
+    for exc, want in (
+        (TimeoutError("shed: overload"), 503),
+        (RuntimeError("device fault"), 500),
+    ):
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), serve.make_handler(Stub(exc), cfg)
+        )
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/flow", data=png.tobytes(),
+                method="POST",
+            )
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                assert False, f"expected HTTP {want}"
+            except urllib.error.HTTPError as e:
+                assert e.code == want
+                assert "error" in json.loads(e.read())
+        finally:
+            httpd.shutdown()
+
+
 def test_http_endpoint(engine, tmp_path):
     import cv2
     from http.server import ThreadingHTTPServer

@@ -82,10 +82,15 @@ def test_train_loop_and_resume(workspace, capsys):
     assert "iter: 0, loss_pixel:" in out
     assert int(state.step) == 3
     files = set(os.listdir(workspace / "models"))
-    assert {"iter_1.ckpt", "last.ckpt"} <= files
+    # periodic save at iter 1 (save_interval=2) plus the final save at loop
+    # exit (num_iterations=3 is off the save grid; without it the last
+    # trained iteration would be silently lost, as in the reference)
+    assert {"iter_1.ckpt", "iter_2.ckpt", "last.ckpt"} <= files
 
-    # resume from last.ckpt: continues at the stored iteration
-    state2 = train_cli.train(_cfg(workspace, resume=True))
+    # resume from last.ckpt: restarts at the stored iteration (reference
+    # convention: iter_start = checkpoint iteration) — now the FINAL one
+    state2 = train_cli.train(_cfg(workspace, resume=True, num_iterations=4))
     out2 = capsys.readouterr().out
-    assert "starting iteration: 1." in out2
-    assert int(state2.step) >= 3
+    assert "starting iteration: 2." in out2
+    assert "iter: 3, loss_pixel:" in out2
+    assert int(state2.step) >= 4

@@ -310,13 +310,18 @@ def train(cfg):
             )
 
     for iter_, inputs in enumerate(stream):
-        if (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test) and eval_gts:
+        do_eval = (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test)
+        if do_eval and eval_gts:
             # multi-host: params are replicated, so every process holds a full
-            # local copy — fetch to host and run eval on THIS process's devices
-            # only.  (Calling a jit on the globally-sharded params from just
-            # process 0 would deadlock the other processes' collectives.)
+            # local copy — fetch to host, then re-commit ONCE to this
+            # process's device so the ~400 per-frame infer_jit calls don't
+            # each re-upload the whole pytree.  (Calling a jit on the
+            # globally-sharded params from just process 0 would deadlock the
+            # other processes' collectives.)
             eval_params = (
-                jax.device_get(state.params)
+                jax.device_put(
+                    jax.device_get(state.params), jax.local_devices()[0]
+                )
                 if jax.process_count() > 1 else state.params
             )
             infer = lambda i1, i2: infer_jit(eval_params, i1, i2)
@@ -328,6 +333,18 @@ def train(cfg):
                 {"eval_2012_res": res_2012, "eval_2015_res": res_2015}
             )
             visualizer.dump_log(os.path.join(cfg.model_dir, "log.pkl"))
+        if do_eval and jax.process_count() > 1:
+            # Only process 0 holds eval GT; the others must NOT run ahead
+            # into the next step's gradient all-reduce while it evaluates
+            # (the CPU/Gloo collective rendezvous times out at a hard 30 s).
+            # Everyone meets here each eval round instead.
+            from jax._src import distributed as _dist
+
+            _client = _dist.global_state.client
+            if _client is not None:
+                _client.wait_at_barrier(
+                    f"unflow_eval_done_{iter_}", timeout_in_ms=3_600_000
+                )
 
         iter_ = iter_ + cfg.iter_start
         if cfg.dataset == "nyuv2":
@@ -348,6 +365,15 @@ def train(cfg):
             )
         if is_main and (iter_ + 1) % cfg.save_interval == 0:
             save(iter_)
+    # final save: the reference only checkpoints on the save_interval grid
+    # (train.py:153-155), silently dropping the weights of any run whose
+    # length is not a multiple of it — write last.ckpt at loop exit instead
+    if (
+        is_main
+        and cfg.num_iterations > cfg.iter_start
+        and cfg.num_iterations % cfg.save_interval != 0
+    ):
+        save(cfg.num_iterations - 1)
     return state
 
 

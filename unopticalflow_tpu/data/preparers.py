@@ -131,6 +131,14 @@ class KITTI_RAW:
             with multiprocessing.Pool(num_processes) as pool:
                 pool.map(worker, folders)
 
+        # calib files first: the global train.txt is the completion sentinel
+        # multi-host waiters poll (train.py), so it must be written LAST
+        for date in sorted(os.listdir(self.data_dir)):
+            src = os.path.join(self.data_dir, date, "calib_cam_to_cam.txt")
+            dst_dir = os.path.join(output_dir, date)
+            if os.path.isfile(src) and os.path.isdir(dst_dir):
+                shutil.copy(src, os.path.join(dst_dir, "calib_cam_to_cam.txt"))
+
         manifests = []
         for date in sorted(os.listdir(output_dir)):
             date_dir = os.path.join(output_dir, date)
@@ -138,12 +146,6 @@ class KITTI_RAW:
                 for d in sorted(os.listdir(date_dir)):
                     manifests.append(os.path.join(date_dir, d, "train.txt"))
         _concat_manifests(output_dir, manifests)
-
-        for date in sorted(os.listdir(self.data_dir)):
-            src = os.path.join(self.data_dir, date, "calib_cam_to_cam.txt")
-            dst_dir = os.path.join(output_dir, date)
-            if os.path.isfile(src) and os.path.isdir(dst_dir):
-                shutil.copy(src, os.path.join(dst_dir, "calib_cam_to_cam.txt"))
         print("Data Preparation Finished.")
 
 
@@ -193,14 +195,15 @@ class KITTI_Odo:
             with multiprocessing.Pool(num_processes) as pool:
                 pool.map(worker, folders)
 
-        _concat_manifests(
-            output_dir,
-            [os.path.join(output_dir, d, "train.txt") for d in self.TRAIN_SEQS],
-        )
+        # calib first; the global train.txt is the completion sentinel
         for d in self.TRAIN_SEQS:
             src = os.path.join(self.data_dir, d, "calib.txt")
             if os.path.isfile(src):
                 shutil.copy(src, os.path.join(output_dir, d, "calib.txt"))
+        _concat_manifests(
+            output_dir,
+            [os.path.join(output_dir, d, "train.txt") for d in self.TRAIN_SEQS],
+        )
         print("Data Preparation Finished.")
 
 
@@ -348,7 +351,8 @@ class NYU_Prepare:
             if os.path.isdir(dd):
                 for s in sorted(os.listdir(dd)):
                     manifests.append(os.path.join(dd, s, "train.txt"))
-        _concat_manifests(output_dir, manifests)
+        # intrinsics first; the global train.txt is the completion sentinel
         with open(os.path.join(output_dir, "calib_cam_to_cam.txt"), "w") as f:
             f.write(_NYU_INTRINSICS_LINE)
+        _concat_manifests(output_dir, manifests)
         print("Data Preparation Finished.")

@@ -65,9 +65,6 @@ def _corr_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, md, tile_h, w):
             ).astype(out_ref.dtype)
 
 
-
-
-
 def _corr_df1_kernel(g_ref, f2a_ref, f2b_ref, out_ref, acc, *, md, tile_h, w):
     side = 2 * md + 1
     inv_c = 1.0 / out_ref.shape[1]
@@ -153,9 +150,6 @@ def _corr_fwd_nchw(f1, f2, md):
             transcendentals=0,
         ),
     )(f1, f2q, f2q)
-
-
-
 
 
 def _corr_df1_nchw(g, f2, md):
