@@ -9,6 +9,10 @@ Design (TPU-first):
 * ONE compiled program: requests are padded into a fixed (MAX_BATCH, H, W)
   batch so XLA compiles exactly once; a half-full batch still runs the same
   program (padding rows are free relative to recompiles).
+* Multi-chip: with >1 local device the serving batch is sharded over a 1-D
+  ``data`` mesh via ``shard_map`` (per-device program identical to the
+  single-chip one, so the Pallas kernels run per-shard); the compiled batch
+  pads up to a device multiple.
 * Dynamic batching: a collector thread drains the request queue up to
   ``--max_batch`` or ``--max_wait_ms``, whichever first — the standard
   latency/throughput knob.
@@ -75,12 +79,35 @@ class FlowServer:
                       "occupancy": [0] * (max_batch + 1)}
         self._jax = jax
 
-        fn = jax.jit(
-            lambda i1, i2: inference_flow(params, model_cfg, i1, i2)
-        )
+        # Multi-device: shard the fixed serving batch over a 1-D data mesh
+        # (shard_map, so the per-device program is identical to single-chip —
+        # the Pallas kernels run per-shard, no GSPMD custom-call rules
+        # needed).  The compiled batch is padded up to a device multiple.
+        n_dev = len(jax.devices())
+        self._pad_batch = -(-max_batch // n_dev) * n_dev
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from unopticalflow_tpu.parallel import data_parallel_mesh
+
+            mesh = data_parallel_mesh()
+            body = jax.shard_map(
+                lambda p, i1, i2: inference_flow(p, model_cfg, i1, i2),
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=P("data"),
+            )
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+            fn = jax.jit(lambda i1, i2: body(params, i1, i2))
+        else:
+            fn = jax.jit(
+                lambda i1, i2: inference_flow(params, model_cfg, i1, i2)
+            )
         self._infer = fn
         # compile once at the fixed serving shape (padding strategy)
-        z = jax.numpy.zeros((max_batch, self.h, self.w, 3), jax.numpy.float32)
+        z = jax.numpy.zeros(
+            (self._pad_batch, self.h, self.w, 3), jax.numpy.float32
+        )
         fn(z, z).block_until_ready()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._stop = threading.Event()
@@ -124,7 +151,7 @@ class FlowServer:
                     batch.append(nxt)
             n = len(batch)
             try:
-                img1 = np.zeros((self.max_batch, self.h, self.w, 3), np.float32)
+                img1 = np.zeros((self._pad_batch, self.h, self.w, 3), np.float32)
                 img2 = np.zeros_like(img1)
                 for i, r in enumerate(batch):
                     img1[i] = r.pair[: self.h]
