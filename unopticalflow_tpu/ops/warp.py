@@ -40,9 +40,15 @@ def _gather_hw(
     """
     b, h, w, c = img.shape
     if flat:
-        fi = img.reshape(b * h * w, c)
         off = (jnp.arange(b, dtype=jnp.int32) * (h * w)).reshape(b, 1, 1)
         idx = (iy * w + ix + off).reshape(-1)
+        # Note (v5e, HLO inspection): XLA lowers this 2-D (rows, c) take via
+        # channel-major relayout while-loops (~6 ms/step at the recipe).
+        # Expressing it instead as a 1-D chunk gather (flattened operand,
+        # slice_sizes=(c,), starts = idx*c) to skip the relayouts was benched
+        # at ~100x SLOWER end-to-end — XLA scalarizes small-slice 1-D
+        # gathers.  The relayout loops are part of the fastest known form.
+        fi = img.reshape(b * h * w, c)
         out = jnp.take(fi, idx, axis=0)
         return out.reshape(b, iy.shape[1], iy.shape[2], c)
     flat2 = img.reshape(b, h * w, c)
