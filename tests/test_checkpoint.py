@@ -58,3 +58,71 @@ def test_atomic_write_leaves_no_tmp(state, tmp_path):
     ckpt.save_checkpoint(path, 1, state.params)
     assert os.path.exists(path)
     assert not os.path.exists(path + ".tmp")
+
+
+def test_async_checkpointer_roundtrip(state, tmp_path):
+    """Async save == sync save: snapshot now, durable after wait()."""
+    saver = ckpt.AsyncCheckpointer()
+    p1 = str(tmp_path / "iter_9.ckpt")
+    p2 = str(tmp_path / "last.ckpt")
+    saver.save((p1, p2), 9, state.params, state.opt_state)
+    saver.wait()
+    for path in (p1, p2):
+        it, params, opt_state = ckpt.restore_checkpoint(
+            path, state.params, state.opt_state
+        )
+        assert it == 9
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not os.path.exists(path + ".tmp")
+    saver.close()
+
+
+def test_async_checkpointer_snapshot_isolation(state, tmp_path):
+    """The saved payload is the value AT save() time, not at write time.
+
+    The training loop donates its state buffers into the next step right
+    after save() returns; the device-side copy must decouple the write from
+    later mutation/deletion of the original buffers.
+    """
+    import jax.numpy as jnp
+
+    saver = ckpt.AsyncCheckpointer()
+    params = {"w": jnp.arange(4.0)}
+    path = str(tmp_path / "snap.ckpt")
+    saver.save([path], 1, params)
+    params["w"].delete()  # simulate donation of the original buffer
+    saver.wait()
+    _, restored, _ = ckpt.restore_checkpoint(path, {"w": np.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0))
+    saver.close()
+
+
+def test_async_checkpointer_order_and_rolling_last(state, tmp_path):
+    """Writes land in order: last.ckpt holds the NEWEST queued payload."""
+    import jax.numpy as jnp
+
+    saver = ckpt.AsyncCheckpointer()
+    last = str(tmp_path / "last.ckpt")
+    for step in range(3):
+        saver.save([last], step, {"w": jnp.full(2, float(step))})
+    saver.wait()
+    it, restored, _ = ckpt.restore_checkpoint(last, {"w": np.zeros(2)})
+    assert it == 2
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.full(2, 2.0))
+    saver.close()
+
+
+def test_async_checkpointer_error_surfaces(state, tmp_path):
+    import jax.numpy as jnp
+
+    saver = ckpt.AsyncCheckpointer()
+    saver.save([str(tmp_path / "no_such_dir" / "x.ckpt")], 0, {"w": jnp.zeros(1)})
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        saver.wait()
+    # the saver recovers after surfacing the error
+    ok = str(tmp_path / "ok.ckpt")
+    saver.save([ok], 1, {"w": jnp.zeros(1)})
+    saver.wait()
+    assert os.path.exists(ok)
+    saver.close()

@@ -263,13 +263,17 @@ def train(cfg):
         lambda params, i1, i2: inference_flow(flow_params(params), model_cfg, i1, i2)
     )
 
+    # Async checkpointing: save() snapshots the device buffers and returns;
+    # a worker thread does the (slow, tunneled) D2H fetch + serialize +
+    # atomic writes.  The loop only blocks at exit (saver.wait below).
+    saver = ckpt.AsyncCheckpointer() if is_main else None
+
     def save(iteration):
-        ckpt.save_checkpoint(
-            os.path.join(cfg.model_dir, f"iter_{iteration}.ckpt"),
-            iteration, state.params, state.opt_state,
-        )
-        ckpt.save_checkpoint(
-            os.path.join(cfg.model_dir, "last.ckpt"),
+        saver.save(
+            (
+                os.path.join(cfg.model_dir, f"iter_{iteration}.ckpt"),
+                os.path.join(cfg.model_dir, "last.ckpt"),
+            ),
             iteration, state.params, state.opt_state,
         )
 
@@ -374,6 +378,8 @@ def train(cfg):
         and cfg.num_iterations % cfg.save_interval != 0
     ):
         save(cfg.num_iterations - 1)
+    if saver is not None:
+        saver.close()  # drain pending writes; surface any worker error
     return state
 
 

@@ -36,6 +36,85 @@ def save_checkpoint(path: str, step: int, params, opt_state=None) -> None:
     os.replace(tmp, path)
 
 
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes (extension; the reference saves
+    synchronously, /root/reference/train.py:153-155).
+
+    ``save()`` snapshots the live device buffers with ONE jitted device-side
+    copy (donation-safe: the training step donates its input state, so the
+    worker must never read the original buffers) and returns immediately;
+    a single worker thread then fetches device->host, serializes ONCE and
+    atomically writes every requested path in order.  The training loop's
+    host thread never blocks on the D2H fetch or the disk write — material
+    on a remote-runtime host where fetching the full train state takes
+    seconds per checkpoint.
+
+    Write order is preserved (one worker), so the rolling ``last.ckpt`` is
+    always the newest payload.  ``wait()`` drains pending writes; worker
+    errors surface on the next ``save()``/``wait()``.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        import jax.numpy as jnp
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._err = None
+        self._copy = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        from flax import serialization as _ser
+
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                paths, step, (params, opt_state) = item
+                payload = {
+                    "iteration": int(step),
+                    "params": _to_host(params),
+                    "opt_state": _to_host(opt_state)
+                    if opt_state is not None
+                    else None,
+                }
+                blob = _ser.to_bytes(payload)
+                for path in paths:
+                    tmp = path + ".tmp"
+                    with open(tmp, "wb") as f:
+                        f.write(blob)
+                    os.replace(tmp, path)
+            except Exception as e:  # surfaced on the next save()/wait()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def save(self, paths, step: int, params, opt_state=None) -> None:
+        """Snapshot now, write later.  ``paths``: every file to write."""
+        self._check()
+        snap = self._copy((params, opt_state))
+        self._q.put((list(paths), step, snap))
+
+    def wait(self) -> None:
+        """Block until every queued checkpoint is durably on disk."""
+        self._q.join()
+        self._check()
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+
 def restore_checkpoint(path: str, params_like, opt_state_like=None):
     """Restore into templates; returns (iteration, params, opt_state)."""
     with open(path, "rb") as f:
