@@ -59,6 +59,38 @@ def test_data_x_spatial_2d_mesh(setup):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
 
+def test_spatial_training_gradients_match(setup):
+    """SP also holds for the TRAINING path: loss grads under an H-sharded
+    layout equal the single-device grads (GSPMD partitions the backward's
+    halo exchanges and scatter transposes too)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from unopticalflow_tpu.models import forward
+
+    cfg, params, img1, img2, _ = setup
+    mesh = spatial_mesh(n_spatial=2)
+
+    # stacked 3-frame snippet (B, 3H, W, 3) built from the fixture images
+    images = jnp.concatenate([img1, img2, img1], axis=1)
+
+    def loss_fn(p, ims):
+        pack = forward(p, cfg, ims)
+        return sum(jnp.sum(v) for v in pack.values())
+
+    g_ref = jax.jit(jax.grad(loss_fn))(params, images)
+
+    img_sh = NamedSharding(mesh, P(None, "spatial", None, None))
+    repl = NamedSharding(mesh, P())
+    g_sp = jax.jit(
+        jax.grad(loss_fn), in_shardings=(repl, img_sh), out_shardings=repl
+    )(params, jax.device_put(images, img_sh))
+
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+
+
 def test_spatial_rejects_pallas_corr():
     cfg = FlowModelConfig(use_pallas_corr=True)
     mesh = spatial_mesh(n_spatial=2)
