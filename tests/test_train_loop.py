@@ -94,3 +94,65 @@ def test_train_loop_and_resume(workspace, capsys):
     assert "starting iteration: 2." in out2
     assert "iter: 3, loss_pixel:" in out2
     assert int(state2.step) >= 4
+
+
+def test_preemption_sigterm_checkpoints_and_exits(workspace):
+    """SIGTERM mid-run -> finish the step, checkpoint, exit 0 (SURVEY §5:
+    the reference loses everything since the last save_interval grid point).
+    """
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root = str(workspace)
+    code = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 1)
+jax.config.update('jax_compilation_cache_dir', '/tmp/unflow_jax_test_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+import sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import train as train_cli
+from test_train_loop import _cfg
+from pathlib import Path
+train_cli.train(_cfg(Path({root!r}), num_iterations=100000, save_interval=100000,
+                     model_dir={root!r} + '/models_pre'))
+print('TRAIN_RETURNED')
+"""
+    os.makedirs(os.path.join(root, "models_pre"), exist_ok=True)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    seen = []
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        seen.append(line)
+        if "iter: 3," in line:
+            proc.send_signal(signal.SIGTERM)
+            break
+    else:
+        proc.kill()
+        raise AssertionError("never reached iter 3:\n" + "".join(seen[-20:]))
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, out
+    assert "preemption signal" in out
+    assert "TRAIN_RETURNED" in out
+    files = set(os.listdir(os.path.join(root, "models_pre")))
+    assert "last.ckpt" in files, files
+    # the checkpoint holds the preempted iteration, not a grid point
+    import jax
+
+    from unopticalflow_tpu.models import init_flow_model
+    from unopticalflow_tpu.training import create_train_state
+    from unopticalflow_tpu.utils import checkpoint as ckpt
+
+    st = create_train_state(init_flow_model(jax.random.PRNGKey(0)), lr=1e-4)
+    it, _, _ = ckpt.restore_checkpoint(
+        os.path.join(root, "models_pre", "last.ckpt"), st.params, st.opt_state
+    )
+    assert it >= 3

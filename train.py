@@ -277,6 +277,24 @@ def train(cfg):
             iteration, state.params, state.opt_state,
         )
 
+    # Preemption handling (extension; the reference has none — SURVEY §5):
+    # TPU pods are routinely preempted with a SIGTERM grace window.  Catch
+    # SIGTERM/SIGINT, finish the in-flight step, checkpoint, and exit
+    # cleanly so --resume continues from the preempted iteration instead of
+    # the last save_interval grid point.  Handlers are restored on exit;
+    # installation is skipped off the main thread (tests, embedding).
+    import signal as _signal
+
+    _preempt = {"sig": None}
+    _prev_handlers = {}
+    try:
+        for _s in (_signal.SIGTERM, _signal.SIGINT):
+            _prev_handlers[_s] = _signal.signal(
+                _s, lambda signum, frame: _preempt.__setitem__("sig", signum)
+            )
+    except ValueError:  # not the main thread
+        _prev_handlers = {}
+
     if is_main:
         print(f"starting iteration: {cfg.iter_start}.")
     stream = device_prefetch(iter(loader), sharding=batch_sharding)
@@ -369,11 +387,22 @@ def train(cfg):
             )
         if is_main and (iter_ + 1) % cfg.save_interval == 0:
             save(iter_)
+        if _preempt["sig"] is not None:
+            if is_main:
+                print(
+                    f"preemption signal {_preempt['sig']}: checkpointing at "
+                    f"iteration {iter_} and exiting."
+                )
+                save(iter_)
+            break
+    for _s, _h in _prev_handlers.items():
+        _signal.signal(_s, _h)
     # final save: the reference only checkpoints on the save_interval grid
     # (train.py:153-155), silently dropping the weights of any run whose
     # length is not a multiple of it — write last.ckpt at loop exit instead
     if (
         is_main
+        and _preempt["sig"] is None
         and cfg.num_iterations > cfg.iter_start
         and cfg.num_iterations % cfg.save_interval != 0
     ):
