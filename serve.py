@@ -66,7 +66,8 @@ class _Request:
 class FlowServer:
     """Dynamic-batching inference engine over one compiled XLA program."""
 
-    def __init__(self, cfg, params, model_cfg, max_batch=8, max_wait_ms=5.0):
+    def __init__(self, cfg, params, model_cfg, max_batch=8, max_wait_ms=5.0,
+                 spatial=1):
         import jax
 
         from unopticalflow_tpu.models import inference_flow
@@ -79,17 +80,33 @@ class FlowServer:
                       "occupancy": [0] * (max_batch + 1)}
         self._jax = jax
 
-        # Multi-device: shard the fixed serving batch over a 1-D data mesh
-        # (shard_map, so the per-device program is identical to single-chip —
-        # the Pallas kernels run per-shard, no GSPMD custom-call rules
-        # needed).  The compiled batch is padded up to a device multiple.
         n_dev = len(jax.devices())
-        self._pad_batch = -(-max_batch // n_dev) * n_dev
-        if n_dev > 1:
+        if spatial > 1:
+            # Height-sharded serving (parallel/spatial.py): for frames too
+            # large for one chip's HBM, shard H over the mesh — GSPMD
+            # inserts the conv halo exchanges.  Batch stays unsharded
+            # (spatial replaces data parallelism here; it targets the
+            # single-giant-frame regime, not throughput).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from unopticalflow_tpu.parallel import make_spatial_infer, spatial_mesh
+
+            self._pad_batch = max_batch
+            mesh = spatial_mesh(n_spatial=spatial)
+            sp_fn = make_spatial_infer(model_cfg, mesh)
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+            fn = lambda i1, i2: sp_fn(params, i1, i2)
+        elif n_dev > 1:
+            # Multi-device: shard the fixed serving batch over a 1-D data
+            # mesh (shard_map, so the per-device program is identical to
+            # single-chip — the Pallas kernels run per-shard, no GSPMD
+            # custom-call rules needed).  The compiled batch is padded up to
+            # a device multiple.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from unopticalflow_tpu.parallel import data_parallel_mesh
 
+            self._pad_batch = -(-max_batch // n_dev) * n_dev
             mesh = data_parallel_mesh()
             body = jax.shard_map(
                 lambda p, i1, i2: inference_flow(p, model_cfg, i1, i2),
@@ -100,6 +117,7 @@ class FlowServer:
             params = jax.device_put(params, NamedSharding(mesh, P()))
             fn = jax.jit(lambda i1, i2: body(params, i1, i2))
         else:
+            self._pad_batch = max_batch
             fn = jax.jit(
                 lambda i1, i2: inference_flow(params, model_cfg, i1, i2)
             )
@@ -270,9 +288,13 @@ def build_server(cfg, args):
     params = get_model("flow")(jax.random.PRNGKey(0))
     if args.pretrained_model:
         _, params = ckpt.load_pretrained(args.pretrained_model, params)
+    if getattr(args, "spatial", 1) > 1 and model_cfg.use_pallas_corr:
+        # the Pallas custom call has no SPMD partitioning rule
+        model_cfg = model_cfg._replace(use_pallas_corr=False)
     return FlowServer(
         cfg, params, model_cfg,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        spatial=getattr(args, "spatial", 1),
     )
 
 
@@ -288,6 +310,10 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--pallas_corr", default="auto",
                    choices=["auto", "on", "off"])
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard image height over this many devices "
+                        "(frames too large for one chip; H must divide "
+                        "spatial*64; disables the Pallas corr kernel)")
     args = p.parse_args(argv)
     cfg = Config(load_yaml_config(args.config_file))
 

@@ -171,3 +171,36 @@ def test_http_endpoint(engine, tmp_path):
             assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()
+
+
+def test_spatial_serving_matches_dp(engine):
+    """--spatial N: height-sharded serving returns the same flow as the
+    default engine (H=128 to satisfy H % (spatial*64) == 0)."""
+    import types
+
+    import serve
+
+    h2 = 128
+    cfg = types.SimpleNamespace(img_hw=(h2, W), num_scales=3)
+    params = init_flow_model(jax.random.PRNGKey(0))
+    sp = serve.FlowServer(
+        cfg, params, FlowModelConfig(num_scales=3),
+        max_batch=2, max_wait_ms=5, spatial=2,
+    )
+    try:
+        pair = RNG.rand(2 * h2, W, 3).astype(np.float32)
+        flow_sp = sp.infer(pair)
+        assert flow_sp.shape == (h2, W, 2)
+        # reference: single-device jit of the same model/params
+        from unopticalflow_tpu.models import inference_flow
+
+        ref = np.asarray(
+            jax.jit(
+                lambda i1, i2: inference_flow(
+                    params, FlowModelConfig(num_scales=3), i1, i2
+                )
+            )(pair[None, :h2], pair[None, h2:])
+        )[0]
+        np.testing.assert_allclose(flow_sp, ref, rtol=2e-5, atol=2e-5)
+    finally:
+        sp.close()
