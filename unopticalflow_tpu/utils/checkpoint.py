@@ -100,8 +100,27 @@ class AsyncCheckpointer:
 
     def save(self, paths, step: int, params, opt_state=None) -> None:
         """Snapshot now, write later.  ``paths``: every file to write."""
+        import jax.numpy as jnp
+
         self._check()
-        snap = self._copy((params, opt_state))
+        tree = (params, opt_state)
+        if all(
+            getattr(x, "is_fully_addressable", True)
+            for x in jax.tree.leaves(tree)
+        ):
+            snap = self._copy(tree)
+        else:
+            # Multi-host: the train state is replicated over the GLOBAL mesh,
+            # so process 0 cannot run a jitted copy on it alone (the program
+            # would span unaddressable devices).  Snapshot the local replica
+            # instead — per-leaf device-side copies of addressable_shards[0],
+            # which holds the full value for a P() (replicated) layout.
+            snap = jax.tree.map(
+                lambda x: jnp.copy(x.addressable_shards[0].data)
+                if not getattr(x, "is_fully_addressable", True)
+                else jnp.copy(x),
+                tree,
+            )
         self._q.put((list(paths), step, snap))
 
     def wait(self) -> None:
