@@ -75,7 +75,9 @@ def test_sintel_flow_task_epe(sintel_dir, exact):
     pred_v = (GT_V + bias) * h / GT_H
 
     def infer(i1, i2):
-        out = np.zeros((1, h, w, 2), np.float32)
+        # batch-polymorphic like the real jitted inference (test.py batches
+        # eval pairs into fixed-shape dispatches)
+        out = np.zeros((np.asarray(i1).shape[0], h, w, 2), np.float32)
         out[..., 0] = pred_u
         out[..., 1] = pred_v
         return out
