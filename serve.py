@@ -312,8 +312,9 @@ def main(argv=None):
                    choices=["auto", "on", "off"])
     p.add_argument("--spatial", type=int, default=1,
                    help="shard image height over this many devices "
-                        "(frames too large for one chip; H must divide "
-                        "spatial*64; disables the Pallas corr kernel)")
+                        "(frames too large for one chip; H must be "
+                        "divisible by spatial*64; disables the Pallas "
+                        "corr kernel)")
     args = p.parse_args(argv)
     cfg = Config(load_yaml_config(args.config_file))
 

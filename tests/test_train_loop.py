@@ -127,16 +127,29 @@ print('TRAIN_RETURNED')
         [sys.executable, "-u", "-c", code],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
+    import selectors
+
+    # non-blocking line reads: a bare readline() would block through a cold
+    # compile and defeat the deadline entirely
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
     seen = []
-    deadline = time.time() + 300
-    while time.time() < deadline:
+    deadline = time.time() + 600
+    hit = False
+    while time.time() < deadline and not hit:
+        if not sel.select(timeout=5):
+            continue  # no output yet (e.g. compiling); re-check the clock
         line = proc.stdout.readline()
+        if not line and proc.poll() is not None:
+            break
         seen.append(line)
         if "iter: 3," in line:
             proc.send_signal(signal.SIGTERM)
-            break
-    else:
+            hit = True
+    sel.close()
+    if not hit:
         proc.kill()
+        proc.wait(timeout=30)
         raise AssertionError("never reached iter 3:\n" + "".join(seen[-20:]))
     out, _ = proc.communicate(timeout=120)
     assert proc.returncode == 0, out

@@ -267,8 +267,12 @@ def train(cfg):
     # a worker thread does the (slow, tunneled) D2H fetch + serialize +
     # atomic writes.  The loop only blocks at exit (saver.wait below).
     saver = ckpt.AsyncCheckpointer() if is_main else None
+    _last_saved = {"iter": None}
 
     def save(iteration):
+        if _last_saved["iter"] == iteration:
+            return  # e.g. preemption right after a grid save of the same step
+        _last_saved["iter"] = iteration
         saver.save(
             (
                 os.path.join(cfg.model_dir, f"iter_{iteration}.ckpt"),
@@ -287,13 +291,37 @@ def train(cfg):
 
     _preempt = {"sig": None}
     _prev_handlers = {}
+
+    def _on_preempt_signal(signum, frame):
+        _preempt["sig"] = signum
+        # first signal requests a graceful stop; restore the previous
+        # handlers immediately so a SECOND signal force-exits (the loop may
+        # be stuck in a multi-minute compile or a wedged device call)
+        for _s, _h in _prev_handlers.items():
+            _signal.signal(_s, _h)
+
     try:
         for _s in (_signal.SIGTERM, _signal.SIGINT):
-            _prev_handlers[_s] = _signal.signal(
-                _s, lambda signum, frame: _preempt.__setitem__("sig", signum)
-            )
+            _prev_handlers[_s] = _signal.signal(_s, _on_preempt_signal)
     except ValueError:  # not the main thread
         _prev_handlers = {}
+
+    def _preempt_agreed():
+        """True iff every process agrees to stop at this loop point.
+
+        Multi-host: a per-process flag alone would let processes break at
+        DIFFERENT iterations (the signal can land between two processes'
+        checks), leaving survivors hung in the next gradient all-reduce.
+        A tiny allgather of the local flags — called unconditionally at the
+        same loop points on every process — makes the decision collective:
+        all break together or none do.
+        """
+        flag = _preempt["sig"] is not None
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return bool(np.any(multihost_utils.process_allgather(np.asarray(flag))))
+        return flag
 
     if is_main:
         print(f"starting iteration: {cfg.iter_start}.")
@@ -331,84 +359,115 @@ def train(cfg):
                 "unflow_train_step_compiled", timeout_in_ms=3_600_000
             )
 
-    for iter_, inputs in enumerate(stream):
-        do_eval = (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test)
-        if do_eval and eval_gts:
-            # multi-host: params are replicated, so every process holds a full
-            # local copy — fetch to host, then re-commit ONCE to this
-            # process's device so the ~400 per-frame infer_jit calls don't
-            # each re-upload the whole pytree.  (Calling a jit on the
-            # globally-sharded params from just process 0 would deadlock the
-            # other processes' collectives.)
-            eval_params = (
-                jax.device_put(
-                    jax.device_get(state.params), jax.local_devices()[0]
-                )
-                if jax.process_count() > 1 else state.params
-            )
-            infer = lambda i1, i2: infer_jit(eval_params, i1, i2)
-            res_2012 = test_kitti_2012(cfg, infer, eval_gts[0], eval_gts[1])
-            res_2015 = test_kitti_2015(
-                cfg, infer, eval_gts[2], eval_gts[3], eval_gts[4]
-            )
-            visualizer.add_log_pack(
-                {"eval_2012_res": res_2012, "eval_2015_res": res_2015}
-            )
-            visualizer.dump_log(os.path.join(cfg.model_dir, "log.pkl"))
-        if do_eval and jax.process_count() > 1:
-            # Only process 0 holds eval GT; the others must NOT run ahead
-            # into the next step's gradient all-reduce while it evaluates
-            # (the CPU/Gloo collective rendezvous times out at a hard 30 s).
-            # Everyone meets here each eval round instead.
-            from jax._src import distributed as _dist
+    _last_step = {"iter": None}  # adjusted iteration of the last done step
 
-            _client = _dist.global_state.client
-            if _client is not None:
-                _client.wait_at_barrier(
-                    f"unflow_eval_done_{iter_}", timeout_in_ms=3_600_000
-                )
+    def _preempt_exit():
+        if is_main:
+            print(
+                f"preemption signal {_preempt['sig']}: checkpointing at "
+                f"iteration {_last_step['iter']} and exiting."
+            )
+            if _last_step["iter"] is not None:
+                save(_last_step["iter"])
 
-        iter_ = iter_ + cfg.iter_start
-        if cfg.dataset == "nyuv2":
-            # NYU returns (img, K_ms, K_inv_ms); the pose branch needs the
-            # scale-0 intrinsics, plain flow mode only the images.  (The
-            # reference crashed here — `inputs.cuda()` on a tuple; the
-            # 2-frame flow path is an extension, models/flow_model.py::
-            # forward_pair.)
-            imgs, k_ms, k_inv_ms = inputs
-            inputs = (
-                (imgs, k_ms[:, 0], k_inv_ms[:, 0])
-                if cfg.mode == "flowposenet" else imgs
-            )
-        state, metrics = step_fn(state, inputs)
-        if is_main and iter_ % cfg.log_interval == 0:
-            visualizer.print_loss(
-                {k: v for k, v in metrics.items() if k != "loss_total"}, iter_=iter_
-            )
-        if is_main and (iter_ + 1) % cfg.save_interval == 0:
-            save(iter_)
-        if _preempt["sig"] is not None:
-            if is_main:
-                print(
-                    f"preemption signal {_preempt['sig']}: checkpointing at "
-                    f"iteration {iter_} and exiting."
+    _loop_exc = None
+    try:
+        for iter_, inputs in enumerate(stream):
+            # check BEFORE the (multi-minute) interleaved eval as well as after
+            # the step: a grace window must not be spent evaluating
+            if _preempt_agreed():
+                _preempt_exit()
+                break
+            do_eval = (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test)
+            if do_eval and eval_gts:
+                # multi-host: params are replicated, so every process holds a full
+                # local copy — fetch to host, then re-commit ONCE to this
+                # process's device so the ~400 per-frame infer_jit calls don't
+                # each re-upload the whole pytree.  (Calling a jit on the
+                # globally-sharded params from just process 0 would deadlock the
+                # other processes' collectives.)
+                eval_params = (
+                    jax.device_put(
+                        jax.device_get(state.params), jax.local_devices()[0]
+                    )
+                    if jax.process_count() > 1 else state.params
                 )
+                infer = lambda i1, i2: infer_jit(eval_params, i1, i2)
+                res_2012 = test_kitti_2012(cfg, infer, eval_gts[0], eval_gts[1])
+                res_2015 = test_kitti_2015(
+                    cfg, infer, eval_gts[2], eval_gts[3], eval_gts[4]
+                )
+                visualizer.add_log_pack(
+                    {"eval_2012_res": res_2012, "eval_2015_res": res_2015}
+                )
+                visualizer.dump_log(os.path.join(cfg.model_dir, "log.pkl"))
+            if do_eval and jax.process_count() > 1:
+                # Only process 0 holds eval GT; the others must NOT run ahead
+                # into the next step's gradient all-reduce while it evaluates
+                # (the CPU/Gloo collective rendezvous times out at a hard 30 s).
+                # Everyone meets here each eval round instead.
+                from jax._src import distributed as _dist
+
+                _client = _dist.global_state.client
+                if _client is not None:
+                    _client.wait_at_barrier(
+                        f"unflow_eval_done_{iter_}", timeout_in_ms=3_600_000
+                    )
+
+            iter_ = iter_ + cfg.iter_start
+            if cfg.dataset == "nyuv2":
+                # NYU returns (img, K_ms, K_inv_ms); the pose branch needs the
+                # scale-0 intrinsics, plain flow mode only the images.  (The
+                # reference crashed here — `inputs.cuda()` on a tuple; the
+                # 2-frame flow path is an extension, models/flow_model.py::
+                # forward_pair.)
+                imgs, k_ms, k_inv_ms = inputs
+                inputs = (
+                    (imgs, k_ms[:, 0], k_inv_ms[:, 0])
+                    if cfg.mode == "flowposenet" else imgs
+                )
+            state, metrics = step_fn(state, inputs)
+            if is_main and iter_ % cfg.log_interval == 0:
+                visualizer.print_loss(
+                    {k: v for k, v in metrics.items() if k != "loss_total"}, iter_=iter_
+                )
+            _last_step["iter"] = iter_
+            if is_main and (iter_ + 1) % cfg.save_interval == 0:
                 save(iter_)
-            break
-    for _s, _h in _prev_handlers.items():
-        _signal.signal(_s, _h)
-    # final save: the reference only checkpoints on the save_interval grid
-    # (train.py:153-155), silently dropping the weights of any run whose
-    # length is not a multiple of it — write last.ckpt at loop exit instead
-    if (
-        is_main
-        and _preempt["sig"] is None
-        and cfg.num_iterations > cfg.iter_start
-        and cfg.num_iterations % cfg.save_interval != 0
-    ):
-        save(cfg.num_iterations - 1)
-    if saver is not None:
-        saver.close()  # drain pending writes; surface any worker error
+            if _preempt_agreed():
+                _preempt_exit()
+                break
+        # final save: the reference only checkpoints on the save_interval grid
+        # (train.py:153-155), silently dropping the weights of any run whose
+        # length is not a multiple of it — write last.ckpt at loop exit instead
+        if (
+            is_main
+            and _preempt["sig"] is None
+            and cfg.num_iterations > cfg.iter_start
+            and cfg.num_iterations % cfg.save_interval != 0
+        ):
+            save(cfg.num_iterations - 1)
+    except BaseException as e:
+        _loop_exc = e
+        raise
+    finally:
+        # restore handlers and drain async writes on EVERY exit path
+        # (a step exception must not leak handlers or abandon queued
+        # checkpoints; a saver error must not mask the original one)
+        for _s, _h in _prev_handlers.items():
+            try:
+                _signal.signal(_s, _h)
+            except ValueError:
+                pass
+        if saver is not None:
+            try:
+                saver.close()  # drain pending writes; surface worker errors
+            except Exception:
+                if _loop_exc is None:
+                    raise
+                import traceback
+
+                traceback.print_exc()
     return state
 
 

@@ -23,17 +23,23 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, step: int, params, opt_state=None) -> None:
-    payload = {
+def _serialize_payload(step: int, params, opt_state) -> bytes:
+    return serialization.to_bytes({
         "iteration": int(step),
         "params": _to_host(params),
         "opt_state": _to_host(opt_state) if opt_state is not None else None,
-    }
-    blob = serialization.to_bytes(payload)
+    })
+
+
+def _atomic_write(path: str, blob: bytes) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
+
+
+def save_checkpoint(path: str, step: int, params, opt_state=None) -> None:
+    _atomic_write(path, _serialize_payload(step, params, opt_state))
 
 
 class AsyncCheckpointer:
@@ -60,34 +66,26 @@ class AsyncCheckpointer:
 
         import jax.numpy as jnp
 
-        self._q: "queue.Queue" = queue.Queue()
+        # Bounded queue: each entry pins a full device-side copy of
+        # params+opt_state, so saves outpacing the writer must back-pressure
+        # (save() blocks on a full queue) instead of accumulating snapshots
+        # in HBM without bound.
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
         self._err = None
         self._copy = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
-        from flax import serialization as _ser
-
         while True:
             item = self._q.get()
             try:
                 if item is None:
                     return
                 paths, step, (params, opt_state) = item
-                payload = {
-                    "iteration": int(step),
-                    "params": _to_host(params),
-                    "opt_state": _to_host(opt_state)
-                    if opt_state is not None
-                    else None,
-                }
-                blob = _ser.to_bytes(payload)
+                blob = _serialize_payload(step, params, opt_state)
                 for path in paths:
-                    tmp = path + ".tmp"
-                    with open(tmp, "wb") as f:
-                        f.write(blob)
-                    os.replace(tmp, path)
+                    _atomic_write(path, blob)
             except Exception as e:  # surfaced on the next save()/wait()
                 self._err = e
             finally:
