@@ -359,7 +359,10 @@ def train(cfg):
                 "unflow_train_step_compiled", timeout_in_ms=3_600_000
             )
 
+    import time as _time
+
     _last_step = {"iter": None}  # adjusted iteration of the last done step
+    _log_t = {"t": None, "iter": 0}  # throughput accounting between logs
 
     def _preempt_exit():
         if is_main:
@@ -428,9 +431,19 @@ def train(cfg):
                 )
             state, metrics = step_fn(state, inputs)
             if is_main and iter_ % cfg.log_interval == 0:
-                visualizer.print_loss(
-                    {k: v for k, v in metrics.items() if k != "loss_total"}, iter_=iter_
-                )
+                # throughput observability: print_loss fetches the metrics
+                # (a device sync), so timing between log points is free —
+                # the interval rate includes everything (step, host, eval)
+                now = _time.perf_counter()
+                pack = {k: v for k, v in metrics.items() if k != "loss_total"}
+                if _log_t["t"] is not None and now > _log_t["t"]:
+                    pack["snippets_per_sec"] = (
+                        cfg.batch_size
+                        * (iter_ - _log_t["iter"])
+                        / (now - _log_t["t"])
+                    )
+                _log_t["t"], _log_t["iter"] = now, iter_
+                visualizer.print_loss(pack, iter_=iter_)
             _last_step["iter"] = iter_
             if is_main and (iter_ + 1) % cfg.save_interval == 0:
                 save(iter_)
