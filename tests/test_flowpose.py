@@ -238,6 +238,7 @@ def test_forward_flowpose_pair():
         assert nonzero == len(leaves), branch
 
 
+@pytest.mark.slow
 def test_flow_pair_forward_and_step():
     """2-frame flow-only training path (NYU flow mode, an extension the
     reference never had working)."""

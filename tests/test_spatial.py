@@ -59,6 +59,7 @@ def test_data_x_spatial_2d_mesh(setup):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_training_gradients_match(setup):
     """SP also holds for the TRAINING path: loss grads under an H-sharded
     layout equal the single-device grads (GSPMD partitions the backward's

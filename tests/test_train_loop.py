@@ -96,6 +96,7 @@ def test_train_loop_and_resume(workspace, capsys):
     assert int(state2.step) >= 4
 
 
+@pytest.mark.slow
 def test_preemption_sigterm_checkpoints_and_exits(workspace):
     """SIGTERM mid-run -> finish the step, checkpoint, exit 0 (SURVEY §5:
     the reference loses everything since the last save_interval grid point).
