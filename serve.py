@@ -22,9 +22,9 @@ Design (TPU-first):
 
 API:
     POST /flow    body: raw PNG/JPEG bytes of the two frames stacked
-                  vertically (2H x W x 3, like the eval datasets), or a
-                  multipart of two images.  Response: binary .flo
-                  (Middlebury) flow field at network resolution.
+                  vertically (2H x W x 3, like the eval datasets).
+                  Response: binary .flo (Middlebury) flow field at network
+                  resolution.
     GET  /healthz liveness + model/config info (JSON).
     GET  /stats   served counts, batch-occupancy histogram (JSON).
 
@@ -36,7 +36,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import os
 import queue
@@ -50,6 +49,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from unopticalflow_tpu.utils.config import Config, load_yaml_config
+
+# reject request bodies above this before buffering them (a PNG pair at
+# any supported resolution is far below this; unbounded reads let one
+# client OOM the server)
+MAX_BODY_BYTES = 64 * 1024 * 1024
 
 
 class _Request:
@@ -76,7 +80,7 @@ class FlowServer:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.queue: "queue.Queue[_Request]" = queue.Queue()
-        self.stats = {"served": 0, "batches": 0, "shed": 0,
+        self.stats = {"served": 0, "batches": 0, "shed": 0, "errors": 0,
                       "occupancy": [0] * (max_batch + 1)}
         self._jax = jax
 
@@ -180,9 +184,14 @@ class FlowServer:
             except Exception as e:  # surface device errors to every waiter
                 for r in batch:
                     r.error = e
-            self.stats["served"] += n
+            if batch[0].error is None:
+                self.stats["served"] += n
+                self.stats["occupancy"][n] += 1
+            else:
+                # a failed batch served nobody; monitoring keyed on served
+                # throughput must see the outage
+                self.stats["errors"] += n
             self.stats["batches"] += 1
-            self.stats["occupancy"][n] += 1
             for r in batch:
                 r.event.set()
 
@@ -219,14 +228,11 @@ def _decode_pair(body: bytes, img_hw) -> np.ndarray:
 
 
 def _encode_flo(flow: np.ndarray) -> bytes:
-    """(H, W, 2) float32 -> Middlebury .flo bytes (flowlib layout)."""
-    h, w = flow.shape[:2]
-    buf = io.BytesIO()
-    buf.write(np.float32(202021.25).tobytes())
-    buf.write(np.int32(w).tobytes())
-    buf.write(np.int32(h).tobytes())
-    buf.write(flow.astype(np.float32).tobytes())
-    return buf.getvalue()
+    """(H, W, 2) float32 -> Middlebury .flo bytes (flowlib is the single
+    source of the layout)."""
+    from unopticalflow_tpu.evaluation.flowlib import encode_flow
+
+    return encode_flow(flow)
 
 
 def make_handler(server: FlowServer, cfg):
@@ -258,6 +264,12 @@ def make_handler(server: FlowServer, cfg):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > MAX_BODY_BYTES:
+                    self._send(413, json.dumps({
+                        "error": f"body {length} bytes exceeds "
+                                 f"{MAX_BODY_BYTES}"
+                    }).encode())
+                    return
                 pair = _decode_pair(self.rfile.read(length), cfg.img_hw)
             except Exception as e:  # malformed request -> client error
                 self._send(400, json.dumps({"error": str(e)}).encode())

@@ -204,3 +204,64 @@ def test_spatial_serving_matches_dp(engine):
         np.testing.assert_allclose(flow_sp, ref, rtol=2e-5, atol=2e-5)
     finally:
         sp.close()
+
+
+def test_oversized_body_rejected_413(engine, tmp_path):
+    """Content-Length above the cap is rejected before buffering."""
+    import http.client
+    import socket
+    import threading as _threading
+
+    import serve
+
+    handler = serve.make_handler(engine, types.SimpleNamespace(img_hw=(H, W)))
+    httpd = serve.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = _threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.putrequest("POST", "/flow")
+        conn.putheader("Content-Length", str(serve.MAX_BODY_BYTES + 1))
+        conn.endheaders()
+        # send nothing further; the server must answer from the header alone
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "error" in json.loads(resp.read())
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
+def test_failed_batches_counted_as_errors():
+    """A device fault must not inflate the served counter."""
+    import types as _types
+
+    import serve
+
+    class Boom:
+        def __call__(self, *a, **k):
+            raise RuntimeError("device fault")
+
+    srv = serve.FlowServer.__new__(serve.FlowServer)
+    srv.h, srv.w = H, W
+    srv.max_batch = 2
+    srv._pad_batch = 2
+    srv.max_wait = 0.001
+    srv.queue = __import__("queue").Queue()
+    srv.stats = {"served": 0, "batches": 0, "shed": 0, "errors": 0,
+                 "occupancy": [0] * 3}
+    srv._jax = jax
+    srv._infer = Boom()
+    srv._stop = __import__("threading").Event()
+    srv._thread = __import__("threading").Thread(target=srv._loop, daemon=True)
+    srv._thread.start()
+    try:
+        pair = RNG.rand(2 * H, W, 3).astype(np.float32)
+        with pytest.raises(RuntimeError, match="device fault"):
+            srv.infer(pair, timeout=10)
+        assert srv.stats["errors"] == 1
+        assert srv.stats["served"] == 0
+        assert srv.stats["batches"] == 1
+    finally:
+        srv.close()

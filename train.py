@@ -176,10 +176,18 @@ def train(cfg):
     # dataset preparation on first run (train.py:81-96)
     data_dir = os.path.join(cfg.prepared_base_dir, cfg.prepared_save_dir)
     if not is_main:
-        # non-coordinators wait for process 0 to finish preparing
+        # non-coordinators wait for process 0 to finish preparing — bounded,
+        # so a crashed coordinator fails the pod fast instead of hanging it
+        # on the TPU reservation forever
         import time as _time
 
+        _deadline = _time.monotonic() + float(cfg.get("prep_timeout_s", 3600))
         while not os.path.exists(os.path.join(data_dir, "train.txt")):
+            if _time.monotonic() > _deadline:
+                raise RuntimeError(
+                    f"timed out waiting for {data_dir}/train.txt — process 0 "
+                    "likely failed during data preparation; check its log"
+                )
             _time.sleep(2.0)
     elif not os.path.exists(os.path.join(data_dir, "train.txt")):
         if cfg.dataset == "kitti_depth":
@@ -306,18 +314,26 @@ def train(cfg):
     except ValueError:  # not the main thread
         _prev_handlers = {}
 
-    def _preempt_agreed():
+    # multi-host: agree on stopping only every K iterations — the agreement
+    # collective is host-blocking, and checking each step would serialize
+    # the hosts in lockstep; grace windows are tens of seconds, so a ~1.5 s
+    # check cadence (K steps) loses nothing
+    _PREEMPT_CHECK_EVERY = 20
+
+    def _preempt_agreed(do_collective=True):
         """True iff every process agrees to stop at this loop point.
 
         Multi-host: a per-process flag alone would let processes break at
         DIFFERENT iterations (the signal can land between two processes'
         checks), leaving survivors hung in the next gradient all-reduce.
-        A tiny allgather of the local flags — called unconditionally at the
-        same loop points on every process — makes the decision collective:
-        all break together or none do.
+        A tiny allgather of the local flags — called under an
+        iteration-deterministic condition IDENTICAL on every process —
+        makes the decision collective: all break together or none do.
         """
         flag = _preempt["sig"] is not None
         if jax.process_count() > 1:
+            if not do_collective:
+                return False
             from jax.experimental import multihost_utils
 
             return bool(np.any(multihost_utils.process_allgather(np.asarray(flag))))
@@ -378,10 +394,11 @@ def train(cfg):
         for iter_, inputs in enumerate(stream):
             # check BEFORE the (multi-minute) interleaved eval as well as after
             # the step: a grace window must not be spent evaluating
-            if _preempt_agreed():
+            will_eval = (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test)
+            if _preempt_agreed(iter_ % _PREEMPT_CHECK_EVERY == 0 or will_eval):
                 _preempt_exit()
                 break
-            do_eval = (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test)
+            do_eval = will_eval
             if do_eval and eval_gts:
                 # multi-host: params are replicated, so every process holds a full
                 # local copy — fetch to host, then re-commit ONCE to this
@@ -447,7 +464,7 @@ def train(cfg):
             _last_step["iter"] = iter_
             if is_main and (iter_ + 1) % cfg.save_interval == 0:
                 save(iter_)
-            if _preempt_agreed():
+            if _preempt_agreed((iter_ + 1) % _PREEMPT_CHECK_EVERY == 0):
                 _preempt_exit()
                 break
         # final save: the reference only checkpoints on the save_interval grid

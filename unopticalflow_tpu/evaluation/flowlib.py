@@ -29,13 +29,21 @@ def read_flow(filename: str) -> np.ndarray:
     return data.reshape(h, w, 2)
 
 
+def encode_flow(flow: np.ndarray) -> bytes:
+    """(H, W, >=2) flow -> Middlebury .flo bytes (the single source of the
+    on-wire layout; used by write_flow and the serving endpoint)."""
+    h, w = flow.shape[:2]
+    return (
+        np.array([TAG_FLOAT], np.float32).tobytes()
+        + np.array([w, h], np.int32).tobytes()
+        + flow[:, :, :2].astype(np.float32).tobytes()
+    )
+
+
 def write_flow(flow: np.ndarray, filename: str) -> None:
     """Write (H, W, 2) flow as Middlebury .flo."""
-    h, w = flow.shape[:2]
     with open(filename, "wb") as f:
-        np.array([TAG_FLOAT], np.float32).tofile(f)
-        np.array([w, h], np.int32).tofile(f)
-        flow[:, :, :2].astype(np.float32).tofile(f)
+        f.write(encode_flow(flow))
 
 
 def read_flow_png(flow_file: str) -> np.ndarray:

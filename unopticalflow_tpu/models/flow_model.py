@@ -15,7 +15,13 @@ training/train_step.py).
 
 from __future__ import annotations
 
+import os
+
 from typing import NamedTuple
+
+# temporary A/B: one 2B-packed loss gather per scale (re-test under the
+# flat-take formulation; the old negative result predates it)
+_PACK2B = os.environ.get("UNFLOW_PACK2B") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -180,8 +186,16 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
             # measured 26% SLOWER on v5e (32.3 vs 25.7 ms of gathers at the
             # KITTI recipe) — XLA's gather strategy degrades at the larger
             # operand geometry, so keep two B-sized dispatches
-            four_b = warp_corners(pyr_lr[s][:b], flows_bwd[s], gather_u32=True)
-            four_f = warp_corners(pyr_lr[s][b:], flows_fwd[s], gather_u32=True)
+            if _PACK2B:
+                four = warp_corners(pyr_lr[s], flows[s], gather_u32=True)
+                four_b, four_f = four[:b], four[b:]
+            else:
+                four_b = warp_corners(
+                    pyr_lr[s][:b], flows_bwd[s], gather_u32=True
+                )
+                four_f = warp_corners(
+                    pyr_lr[s][b:], flows_fwd[s], gather_u32=True
+                )
             out = photometric_pack(
                 four_b, four_f, flows_bwd[s], flows_fwd[s], pyr_c[s]
             )

@@ -127,9 +127,16 @@ class AsyncCheckpointer:
         self._check()
 
     def close(self) -> None:
-        self.wait()
+        """Drain, stop the worker, THEN surface any pending write error.
+
+        The sentinel/join must happen even when a write failed — otherwise
+        the worker thread outlives an object its owner believes is shut
+        down (and the error would make close() unrepeatable).
+        """
+        self._q.join()
         self._q.put(None)
         self._thread.join(timeout=10)
+        self._check()
 
 
 def restore_checkpoint(path: str, params_like, opt_state_like=None):
