@@ -33,7 +33,7 @@ import numpy as np
 REFERENCE_TRAIN_SNIPPETS_PER_SEC = 20.0  # estimated; see module docstring
 
 
-def bench_train(batch, img_hw, iters, compute_dtype, use_pallas):
+def bench_train(batch, img_hw, iters, compute_dtype, use_pallas, quant_warps=False):
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +43,7 @@ def bench_train(batch, img_hw, iters, compute_dtype, use_pallas):
     cfg = FlowModelConfig(
         num_scales=3, compute_dtype=compute_dtype, loss_dtype=compute_dtype,
         use_pallas_corr=use_pallas, use_pallas_photo=use_pallas,
+        quantize_loss_warps=quant_warps,
     )
     weights = {
         "loss_pixel": 0.15,
@@ -332,6 +333,9 @@ if __name__ == "__main__":
                    help="disable the Pallas cost-volume kernels (default on "
                         "TPU: enabled — ~45% faster end-to-end than XLA corr)")
     p.add_argument("--infer", action="store_true")
+    p.add_argument("--quant-warps", action="store_true",
+                   help="uint8-quantize the no-grad loss-warp gathers "
+                        "(FlowModelConfig.quantize_loss_warps)")
     p.add_argument("--validate", action="store_true",
                    help="on-chip Pallas-vs-XLA fwd+grad closeness check "
                         "instead of the throughput bench")
@@ -353,8 +357,15 @@ if __name__ == "__main__":
     compute_dtype = "float32" if args.fp32 else "bfloat16"
     use_pallas = (not args.no_pallas) and on_tpu()
 
-    fn = bench_infer if args.infer else bench_train
-    value, _ = fn(args.batch, tuple(args.hw), args.iters, compute_dtype, use_pallas)
+    if args.infer:
+        value, _ = bench_infer(
+            args.batch, tuple(args.hw), args.iters, compute_dtype, use_pallas
+        )
+    else:
+        value, _ = bench_train(
+            args.batch, tuple(args.hw), args.iters, compute_dtype, use_pallas,
+            quant_warps=args.quant_warps,
+        )
 
     if args.infer:
         out = {

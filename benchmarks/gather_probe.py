@@ -60,6 +60,8 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--hw", type=int, nargs=2, default=(256, 832))
     p.add_argument("--ch", type=int, default=12)
+    p.add_argument("--widths", action="store_true",
+                   help="row-width sweep of the flat u32 take only")
     args = p.parse_args()
 
     b = args.batch
@@ -180,6 +182,37 @@ def main():
             return jnp.concatenate(parts, axis=1)
 
         return taa_chunked
+
+    if args.widths:
+        # Row-width sweep for the flat take: is the gather purely
+        # index-issue-bound, or partially bytes-bound?  If ns/row falls with
+        # narrower rows, packing the loss pyramids as u8 (12 u8 = 3 u32 per
+        # row instead of 6 u32) halves the dominant loss-warp cost.
+        off = (jnp.arange(b, dtype=jnp.int32) * src_n)[:, None, None]
+        fidx = jax.device_put(jnp.asarray((np.asarray(idx) + np.asarray(off)).reshape(-1)))
+        results = {}
+        for k in (1, 2, 3, 4, 6, 8, 16):
+            op = jnp.asarray(
+                rng.randint(0, 255, (b * src_n, k)).astype(np.uint32)
+            )
+
+            @jax.jit
+            def take_k(op, fidx):
+                return jnp.take(op, fidx, axis=0)
+
+            results[f"flat_u32_w{k}"] = timeit(take_k, op, fidx)
+        # u8-typed operand, same bytes as w3 (does XLA like 8-bit rows?)
+        op8 = jnp.asarray(rng.randint(0, 255, (b * src_n, 12)).astype(np.uint8))
+
+        @jax.jit
+        def take_u8(op, fidx):
+            return jnp.take(op, fidx, axis=0)
+
+        results["flat_u8_w12"] = timeit(take_u8, op8, fidx)
+        print(f"rows={n_rows} ({b}x{h}x{w}) width sweep")
+        for k, v in results.items():
+            print(f"  {k:14s} {v:8.2f} ms   {v * 1e6 / n_rows:6.2f} ns/row")
+        return
 
     results = {}
     results["taa"] = timeit(taa, img, idx)

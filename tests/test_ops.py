@@ -219,3 +219,52 @@ def test_warp_gather_u32_path_matches():
     a = bilinear_warp(img, flow, use_mask=True, gather_u32=False)
     b = bilinear_warp(img, flow, use_mask=True, gather_u32=True)
     np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+def test_warp_gather_u8_path_close():
+    """u8-quantized loss-warp gathers: exact for 8-bit-sourced images,
+    <= 1/510 per-channel otherwise (ops/warp.py::_gather_corners)."""
+    rng = np.random.RandomState(7)
+    # 8-bit-sourced image: quantization is exact, only the bf16 dequant
+    # rounding differs from the bf16 input rounding (1 ulp)
+    img8 = rng.randint(0, 256, (2, 16, 24, 3)).astype(np.float32) / 255.0
+    img = jnp.asarray(img8, jnp.bfloat16)
+    flow = jnp.asarray(rng.uniform(-6, 6, (2, 16, 24, 2)).astype(np.float32))
+    a = bilinear_warp(img, flow, use_mask=True, gather_u32=True)
+    b = bilinear_warp(img, flow, use_mask=True, gather_u8=True)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32),
+        rtol=0, atol=2.0 / 255.0,
+    )
+    # arbitrary [0,1] image in f32: bounded by the quantization step
+    imgf = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    af = bilinear_warp(imgf, flow, use_mask=True)
+    bf = bilinear_warp(imgf, flow, use_mask=True, gather_u8=True)
+    assert bf.dtype == imgf.dtype
+    np.testing.assert_allclose(
+        np.asarray(af), np.asarray(bf), rtol=0, atol=2.5 / 255.0
+    )
+
+
+def test_flow_model_quantized_loss_warps_close():
+    """The quantize_loss_warps config produces the same loss pack within
+    quantization tolerance (both fused and XLA photometric paths)."""
+    import jax
+
+    from unopticalflow_tpu.models import FlowModelConfig, init_flow_model
+    from unopticalflow_tpu.models.flow_model import forward
+
+    rng = np.random.RandomState(3)
+    b, h, w = 2, 64, 128
+    images = jnp.asarray(
+        rng.randint(0, 256, (b, 3 * h, w, 3)).astype(np.float32) / 255.0
+    )
+    params = init_flow_model(jax.random.PRNGKey(0))
+    base = FlowModelConfig(num_scales=3)
+    quant = base._replace(quantize_loss_warps=True)
+    ref = forward(params, base, images)
+    got = forward(params, quant, images)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=0.02, atol=5e-3
+        )

@@ -127,6 +127,9 @@ def train(cfg):
         use_pallas_photo=resolve_pallas(
             cfg.get("pallas_photo", cfg.get("pallas_corr", "auto"))
         ),
+        # uint8-quantized no-grad loss-warp gathers (ops/warp.py); yaml knob,
+        # off by default pending the on-chip throughput validation
+        quantize_loss_warps=bool(cfg.get("quantize_loss_warps", False)),
     )
     init_fn = get_model(cfg.mode)
     params = init_fn(jax.random.PRNGKey(cfg.get("seed", 0)))

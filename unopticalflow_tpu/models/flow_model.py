@@ -57,6 +57,12 @@ class FlowModelConfig(NamedTuple):
     # the loss tail at the KITTI recipe (documented negative result); the
     # kernel stays for the validation surface and future revisit.
     use_pallas_reg: bool = False
+    # uint8-quantize the (no-grad) loss-warp gathers: halves the gathered
+    # row bytes / table writes / relayout volume of the dominant loss-warp
+    # cost.  Exact for 8-bit-sourced images at the finest scale; <= 1/510
+    # per-channel error on pooled scales (see ops/warp.py::_gather_corners).
+    # Off by default so f32 parity paths stay bit-exact vs the reference.
+    quantize_loss_warps: bool = False
 
     @property
     def cdtype(self):
@@ -186,15 +192,18 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
             # measured 26% SLOWER on v5e (32.3 vs 25.7 ms of gathers at the
             # KITTI recipe) — XLA's gather strategy degrades at the larger
             # operand geometry, so keep two B-sized dispatches
+            q8 = cfg.quantize_loss_warps
             if _PACK2B:
-                four = warp_corners(pyr_lr[s], flows[s], gather_u32=True)
+                four = warp_corners(
+                    pyr_lr[s], flows[s], gather_u32=True, gather_u8=q8
+                )
                 four_b, four_f = four[:b], four[b:]
             else:
                 four_b = warp_corners(
-                    pyr_lr[s][:b], flows_bwd[s], gather_u32=True
+                    pyr_lr[s][:b], flows_bwd[s], gather_u32=True, gather_u8=q8
                 )
                 four_f = warp_corners(
-                    pyr_lr[s][b:], flows_fwd[s], gather_u32=True
+                    pyr_lr[s][b:], flows_fwd[s], gather_u32=True, gather_u8=q8
                 )
             out = photometric_pack(
                 four_b, four_f, flows_bwd[s], flows_fwd[s], pyr_c[s]
@@ -231,7 +240,10 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
         # gather_u32 is safe here: the pyramid images are stop_gradient'd,
         # so no VJP ever crosses the gather (see warp.py::_gather_corners).
         warped_lr = [
-            bilinear_warp(i, f, use_mask=True, gather_u32=True)
+            bilinear_warp(
+                i, f, use_mask=True, gather_u32=True,
+                gather_u8=cfg.quantize_loss_warps,
+            )
             for i, f in zip(pyr_lr[:ns], flows[:ns])
         ]
         diffs, weights = losses.diff_and_occlusion_weights_packed(

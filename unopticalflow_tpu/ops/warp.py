@@ -124,7 +124,12 @@ def _corner_weights(img_hw, x, y):
     return corners
 
 
-def warp_corners(img: jax.Array, flow: jax.Array, gather_u32: bool = False):
+def warp_corners(
+    img: jax.Array,
+    flow: jax.Array,
+    gather_u32: bool = False,
+    gather_u8: bool = False,
+):
     """Gather the packed 2x2 corner window per output pixel (no blend).
 
     Returns (B, H, W, 4C) with corner-major channels
@@ -138,7 +143,9 @@ def warp_corners(img: jax.Array, flow: jax.Array, gather_u32: bool = False):
     x = gx + flow[..., 0]
     y = gy + flow[..., 1]
     corners = _corner_weights((h, w), x, y)
-    return _gather_corners(img, corners, (h, w), gather_u32=gather_u32)
+    return _gather_corners(
+        img, corners, (h, w), gather_u32=gather_u32, gather_u8=gather_u8
+    )
 
 
 def blend_corners(four: jax.Array, flow: jax.Array, img_hw, use_mask=False):
@@ -159,7 +166,7 @@ def blend_corners(four: jax.Array, flow: jax.Array, img_hw, use_mask=False):
     return out
 
 
-def _gather_corners(img, corners, img_hw, gather_u32=False):
+def _gather_corners(img, corners, img_hw, gather_u32=False, gather_u8=False):
     """Single gather of 2x2 windows packed into channels (best for small C).
 
     Each gathered row on TPU occupies a full 128-lane tile, so gathering
@@ -174,8 +181,23 @@ def _gather_corners(img, corners, img_hw, gather_u32=False):
     valid when no gradient flows to ``img`` through the gather (the loss
     warps: pyramid images are stop_gradient'd; flow gradients ride the
     bilinear weights outside) — an integer-typed gather has no VJP.
+
+    ``gather_u8``: additionally quantize the (no-grad) image to uint8 before
+    packing, so each gathered row is 4C u8 = C u32 lanes instead of 2C —
+    halving the gather row bytes, the table-build writes and the relayout
+    volume.  Requires values in [0, 1].  Quantization error is <= 1/510 per
+    channel; for 8-bit-sourced images (every dataset here) the finest loss
+    scale is exactly representable.  Pixels darker than 1/510 in every
+    channel quantize to 0 and are treated as warp-invalid by the
+    all-channels-zero validity test downstream — same class of edge case the
+    reference's own zero-padding test has for true-black pixels.
     """
     h, w = img_hw
+    odtype = img.dtype
+    if gather_u8:
+        img = jnp.round(jnp.clip(img.astype(jnp.float32), 0.0, 1.0) * 255.0).astype(
+            jnp.uint8
+        )
     pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
     packed = jnp.concatenate(
         [
@@ -189,6 +211,17 @@ def _gather_corners(img, corners, img_hw, gather_u32=False):
     y0, x0 = corners[0][0], corners[0][1]
     iy = jnp.clip(y0 + 1, 0, h)
     ix = jnp.clip(x0 + 1, 0, w)
+    if gather_u8:
+        # 4C is always a multiple of 4: u8 channels pack exactly into u32.
+        b, hp, wp, c4 = packed.shape
+        u = jax.lax.bitcast_convert_type(
+            packed.reshape(b, hp, wp, c4 // 4, 4), jnp.uint32
+        )
+        four_u = _gather_hw(u.reshape(b, hp, wp, c4 // 4), iy, ix, flat=True)
+        four8 = jax.lax.bitcast_convert_type(four_u, jnp.uint8).reshape(
+            b, iy.shape[1], iy.shape[2], c4
+        )
+        return four8.astype(odtype) * jnp.asarray(1.0 / 255.0, odtype)
     if gather_u32 and img.dtype == jnp.bfloat16:
         # 4C is always even, so bf16 channels pair exactly into uint32 lanes.
         b, hp, wp, c4 = packed.shape
@@ -208,7 +241,7 @@ def _gather_corners(img, corners, img_hw, gather_u32=False):
 
 def bilinear_warp(
     img: jax.Array, flow: jax.Array, use_mask: bool = False,
-    gather_u32: bool = False,
+    gather_u32: bool = False, gather_u8: bool = False,
 ) -> jax.Array:
     """Warp ``img`` (the *target* frame) back to the source frame by ``flow``.
 
@@ -233,7 +266,9 @@ def bilinear_warp(
     # form (1 gather of 4C-channel rows) beats 4 C-channel gathers at every
     # channel width; its scatter transpose wins identically.
     corners = _corner_weights((h, w), x, y)
-    four = _gather_corners(img, corners, (h, w), gather_u32=gather_u32)
+    four = _gather_corners(
+        img, corners, (h, w), gather_u32=gather_u32, gather_u8=gather_u8
+    )
     out = 0.0
     for k, (_, _, wgt) in enumerate(corners):
         out = out + four[..., k * c : (k + 1) * c] * wgt.astype(img.dtype)[..., None]
