@@ -38,6 +38,11 @@ def main():
     p.add_argument("--hw", type=int, nargs=2, default=(64, 128))
     p.add_argument("--shift", type=int, default=3)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--bf16", action="store_true",
+                   help="run the production precision (bf16 + fused kernels)")
+    p.add_argument("--quant-warps", action="store_true",
+                   help="uint8-quantized loss-warp gathers (learning-quality "
+                        "evidence for FlowModelConfig.quantize_loss_warps)")
     args = p.parse_args()
 
     import jax
@@ -52,7 +57,13 @@ def main():
 
     from unopticalflow_tpu.utils.platform import on_tpu
 
-    cfg = FlowModelConfig(num_scales=3, use_pallas_corr=on_tpu())
+    prec = "bfloat16" if args.bf16 else "float32"
+    cfg = FlowModelConfig(
+        num_scales=3, use_pallas_corr=on_tpu(),
+        compute_dtype=prec, loss_dtype=prec,
+        use_pallas_photo=args.bf16 and on_tpu(),
+        quantize_loss_warps=args.quant_warps,
+    )
     weights = {
         "loss_pixel": 0.15,
         "loss_ssim": 0.85,
