@@ -265,6 +265,58 @@ def validate_on_chip(out_path=None):
             "ok": all(e < tol for e in errs.values()),
         }
 
+    # ---- channel-major photometric variant vs the packed kernel (bf16) ----
+    # The cm kernels' on-chip risk surface is the u32 pair unpack + the
+    # (12, 1, TH, W) block layout under Mosaic; validated against the packed
+    # kernel (itself validated vs XLA above) — expected bit-equal.
+    from unopticalflow_tpu.ops.warp import warp_corners_cm
+
+    bsz, h, w = 2, 32, 104
+    img = jnp.asarray(rng.rand(bsz, h, w, 3).astype(np.float32), jnp.bfloat16)
+    img_l = jnp.asarray(rng.rand(bsz, h, w, 3).astype(np.float32), jnp.bfloat16)
+    img_r = jnp.asarray(rng.rand(bsz, h, w, 3).astype(np.float32), jnp.bfloat16)
+    flow_b = jnp.asarray(rng.uniform(-5, 5, (bsz, h, w, 2)).astype(np.float32))
+    flow_f = jnp.asarray(rng.uniform(-5, 5, (bsz, h, w, 2)).astype(np.float32))
+
+    @jax.jit
+    def photo_cm_both(img, img_l, img_r, flow_b, flow_f):
+        four_b = warp_corners(img_l, flow_b, gather_u32=True)
+        four_f = warp_corners(img_r, flow_f, gather_u32=True)
+        ffu = jnp.concatenate(
+            [warp_corners_cm(img_l, flow_b), warp_corners_cm(img_r, flow_f)], 0
+        )
+        g = (
+            jnp.asarray(
+                np.random.RandomState(2).randn(2 * bsz).astype(np.float32)
+            ),
+        ) * 2
+
+        def run(fn, *lead):
+            def scalars(fb, ff):
+                out = fn(*lead, fb, ff, img)
+                return (out["s_dw"], out["s_cl"]), (out["s_w"], out["weights"])
+
+            (dw_cl, aux), vjp = jax.vjp(
+                lambda fb, ff: scalars(fb, ff)[0], flow_b, flow_f
+            )
+            d_fb, d_ff = vjp(g)
+            _, aux = scalars(flow_b, flow_f)
+            return (*dw_cl, *aux, d_fb, d_ff)
+
+        return (
+            run(pp.photometric_pack_cm, ffu),
+            run(pp.photometric_pack, four_b, four_f),
+        )
+
+    got, want = jax.device_get(photo_cm_both(img, img_l, img_r, flow_b, flow_f))
+    labels = ["s_dw", "s_cl", "s_w", "weights", "d_flow_b", "d_flow_f"]
+    errs = {k: round(rel_err(a, b), 9) for k, a, b in zip(labels, got, want)}
+    checks["photo_cm_vs_packed_bfloat16"] = {
+        "max_rel_err": errs,
+        "tol": 1e-6,
+        "ok": all(e < 1e-6 for e in errs.values()),
+    }
+
     # ---- fused regularizer (smooth+consis sums, d(flow)) ----
     from unopticalflow_tpu.ops import pallas_regularizer as pr
 

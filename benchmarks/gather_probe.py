@@ -62,6 +62,8 @@ def main():
     p.add_argument("--ch", type=int, default=12)
     p.add_argument("--widths", action="store_true",
                    help="row-width sweep of the flat u32 take only")
+    p.add_argument("--layout", action="store_true",
+                   help="channel-major operand/output layout probe")
     args = p.parse_args()
 
     b = args.batch
@@ -182,6 +184,54 @@ def main():
             return jnp.concatenate(parts, axis=1)
 
         return taa_chunked
+
+    if args.layout:
+        # Hypothesis: XLA's lowering of the row-major (R, 6) u32 take spends
+        # ~6 ms/step in channel-major relayout while-loops (trace category
+        # `while` + DUS).  If the operand is ALREADY channel-major (6, R) and
+        # the consumer accepts channel-major output (6, N) — the Pallas
+        # photometric kernel can — both relayouts vanish at the graph level.
+        off = (jnp.arange(b, dtype=jnp.int32) * src_n)[:, None, None]
+        fidx = jax.device_put(
+            jnp.asarray((np.asarray(idx) + np.asarray(off)).reshape(-1))
+        )
+        op_rm = jnp.asarray(rng.randint(0, 255, (b * src_n, 6)).astype(np.uint32))
+        op_cm = jnp.asarray(np.ascontiguousarray(np.asarray(op_rm).T))
+
+        @jax.jit
+        def rm_take(op, fidx):  # current formulation
+            return jnp.take(op, fidx, axis=0)
+
+        @jax.jit
+        def cm_take(op, fidx):  # channel-major in AND out
+            return jnp.take(op, fidx, axis=1)
+
+        @jax.jit
+        def cm_take_out_t(op, fidx):  # channel-major in, row-major out
+            return jnp.take(op, fidx, axis=1).T
+
+        @jax.jit
+        def rm_take_in_t(op, fidx):  # row-major in (transposed in-graph), cm out
+            return jnp.take(op.T, fidx, axis=1)
+
+        # per-channel 1-D takes from a channel-major operand (6 gathers of
+        # width-1 rows; w1 measured 7.5 ns/row so likely worse, but the
+        # operand rows here are contiguous lanes — different tiling)
+        @jax.jit
+        def cm_per_ch(op, fidx):
+            return jnp.stack([jnp.take(op[k], fidx) for k in range(6)])
+
+        results = {
+            "rm_take": timeit(rm_take, op_rm, fidx),
+            "cm_take": timeit(cm_take, op_cm, fidx),
+            "cm_take_out_t": timeit(cm_take_out_t, op_cm, fidx),
+            "rm_take_in_t": timeit(rm_take_in_t, op_rm, fidx),
+            "cm_per_ch": timeit(cm_per_ch, op_cm, fidx),
+        }
+        print(f"rows={n_rows} ({b}x{h}x{w}) layout probe (w6 u32)")
+        for k, v in results.items():
+            print(f"  {k:14s} {v:8.2f} ms   {v * 1e6 / n_rows:6.2f} ns/row")
+        return
 
     if args.widths:
         # Row-width sweep for the flat take: is the gather purely

@@ -268,3 +268,23 @@ def test_flow_model_quantized_loss_warps_close():
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(ref[k]), rtol=0.02, atol=5e-3
         )
+
+
+def test_warp_corners_cm_matches_packed():
+    """Channel-major corner fetch carries the exact same bf16 corner values
+    as the row-major packed gather (ops/warp.py::warp_corners_cm)."""
+    import jax
+
+    from unopticalflow_tpu.ops.warp import warp_corners, warp_corners_cm
+
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32), jnp.bfloat16)
+    flow = jnp.asarray(rng.uniform(-7, 7, (2, 16, 24, 2)).astype(np.float32))
+    packed = warp_corners(img, flow, gather_u32=True)  # (B, H, W, 12)
+    cm = warp_corners_cm(img, flow)  # (6, B, H, W) u32
+    unpacked = jax.lax.bitcast_convert_type(
+        cm.transpose(1, 2, 3, 0), jnp.bfloat16
+    ).reshape(packed.shape)
+    np.testing.assert_array_equal(
+        np.asarray(unpacked, np.float32), np.asarray(packed, np.float32)
+    )

@@ -127,3 +127,80 @@ def test_full_forward_fused_matches_unfused(interpret_pack):
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-5,
             err_msg=jax.tree_util.keystr(ka),
         )
+
+
+def _case_cm():
+    """bf16 case + channel-major corner pairs (warp_corners_cm)."""
+    from unopticalflow_tpu.ops.warp import warp_corners_cm
+
+    img_b = jnp.asarray(RNG.rand(B, H, W, 3).astype(np.float32), jnp.bfloat16)
+    img_l = jnp.asarray(RNG.rand(B, H, W, 3).astype(np.float32), jnp.bfloat16)
+    img_r = jnp.asarray(RNG.rand(B, H, W, 3).astype(np.float32), jnp.bfloat16)
+    flow_b = jnp.asarray(RNG.uniform(-5, 5, (B, H, W, 2)).astype(np.float32))
+    flow_f = jnp.asarray(RNG.uniform(-5, 5, (B, H, W, 2)).astype(np.float32))
+    four_b = warp_corners(img_l, flow_b, gather_u32=True)
+    four_f = warp_corners(img_r, flow_f, gather_u32=True)
+    ffu = jnp.concatenate(
+        [warp_corners_cm(img_l, flow_b), warp_corners_cm(img_r, flow_f)], 0
+    )
+    return four_b, four_f, ffu, flow_b, flow_f, img_b
+
+
+def test_cm_forward_equals_packed(interpret_pack):
+    """photometric_pack_cm == photometric_pack: the in-kernel u32 pair unpack
+    (bf16 -> f32 via 16-bit shift) is exactly the astype of the packed path
+    (pallas_photometric.py::_unpack_pairs).  The weight MAP is exact; the
+    per-sample sums get a 1-ULP tolerance (CPU-interpret compilation may
+    contract the two kernels' reductions differently — on the real TPU the
+    full train-step losses AND grads were verified bit-equal)."""
+    four_b, four_f, ffu, flow_b, flow_f, img = _case_cm()
+    a = pp.photometric_pack(four_b, four_f, flow_b, flow_f, img)
+    c = pp.photometric_pack_cm(ffu, flow_b, flow_f, img)
+    np.testing.assert_array_equal(
+        np.asarray(a["weights"], np.float32),
+        np.asarray(c["weights"], np.float32),
+    )
+    for k in ("s_dw", "s_w", "s_cl"):
+        np.testing.assert_allclose(
+            np.asarray(a[k], np.float32), np.asarray(c[k], np.float32),
+            rtol=1e-6, atol=0, err_msg=k,
+        )
+
+
+def test_cm_flow_vjp_bit_equals_packed(interpret_pack):
+    four_b, four_f, ffu, flow_b, flow_f, img = _case_cm()
+
+    def loss_packed(fb, ffl):
+        out = pp.photometric_pack(four_b, four_f, fb, ffl, img)
+        return jnp.sum(out["s_dw"]) + jnp.sum(out["s_cl"])
+
+    def loss_cm(fb, ffl):
+        out = pp.photometric_pack_cm(ffu, fb, ffl, img)
+        return jnp.sum(out["s_dw"]) + jnp.sum(out["s_cl"])
+
+    ga = jax.grad(loss_packed, argnums=(0, 1))(flow_b, flow_f)
+    gc = jax.grad(loss_cm, argnums=(0, 1))(flow_b, flow_f)
+    for a, c in zip(ga, gc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_model_forward_cm_matches_packed(interpret_pack, monkeypatch):
+    """Full fused forward with the channel-major loss-warp path equals the
+    packed-gather path (models/flow_model.py fused branch, bf16 losses)."""
+    from unopticalflow_tpu.models import FlowModelConfig, forward, init_flow_model
+    from unopticalflow_tpu.models import flow_model as fm
+
+    params = init_flow_model(jax.random.PRNGKey(4))
+    images = jnp.asarray(RNG.rand(1, 3 * 64, 64, 3).astype(np.float32))
+    cfg = FlowModelConfig(
+        num_scales=3, loss_dtype="bfloat16", use_pallas_photo=True
+    )
+    assert fm._CM, "cm path must be the default"
+    pack_cm = forward(params, cfg, images)
+    monkeypatch.setattr(fm, "_CM", False)
+    pack_packed = forward(params, cfg, images)
+    for k in pack_packed:
+        np.testing.assert_allclose(
+            np.asarray(pack_cm[k]), np.asarray(pack_packed[k]),
+            rtol=1e-6, atol=0, err_msg=k,
+        )

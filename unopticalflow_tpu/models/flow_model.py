@@ -22,6 +22,9 @@ from typing import NamedTuple
 # temporary A/B: one 2B-packed loss gather per scale (re-test under the
 # flat-take formulation; the old negative result predates it)
 _PACK2B = os.environ.get("UNFLOW_PACK2B") == "1"
+# kill-switch A/B: channel-major loss-warp gathers + cm photometric kernels
+# (default on; see ops/warp.py::warp_corners_cm)
+_CM = os.environ.get("UNFLOW_CM", "1") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -178,9 +181,12 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
         # gather (corner fetch) stays in XLA.  The kernel's hand-written VJP
         # emits d(flow) only — its other inputs carry no gradient by
         # reference semantics (see ops/pallas_photometric.py).
-        from unopticalflow_tpu.ops.pallas_photometric import photometric_pack
+        from unopticalflow_tpu.ops.pallas_photometric import (
+            photometric_pack,
+            photometric_pack_cm,
+        )
         from unopticalflow_tpu.ops.pallas_regularizer import regularizer_pack
-        from unopticalflow_tpu.ops.warp import warp_corners
+        from unopticalflow_tpu.ops.warp import warp_corners, warp_corners_cm
 
         loss_pixel = 0.0
         loss_ssim = 0.0
@@ -193,7 +199,23 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
             # KITTI recipe) — XLA's gather strategy degrades at the larger
             # operand geometry, so keep two B-sized dispatches
             q8 = cfg.quantize_loss_warps
-            if _PACK2B:
+            cm = _CM and not q8 and not _PACK2B and ld == jnp.bfloat16
+            if cm:
+                # channel-major fetch + cm kernel: skips the gather's
+                # row-major relayout loops AND the 24-channel NHWC->NCHW
+                # kernel-boundary transposes in both passes (warp.py::
+                # warp_corners_cm, pallas_photometric.py::photometric_pack_cm)
+                ffu = jnp.concatenate(
+                    [
+                        warp_corners_cm(pyr_lr[s][:b], flows_bwd[s]),
+                        warp_corners_cm(pyr_lr[s][b:], flows_fwd[s]),
+                    ],
+                    axis=0,
+                )
+                out = photometric_pack_cm(
+                    ffu, flows_bwd[s], flows_fwd[s], pyr_c[s]
+                )
+            elif _PACK2B:
                 four = warp_corners(
                     pyr_lr[s], flows[s], gather_u32=True, gather_u8=q8
                 )
@@ -205,9 +227,10 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
                 four_f = warp_corners(
                     pyr_lr[s][b:], flows_fwd[s], gather_u32=True, gather_u8=q8
                 )
-            out = photometric_pack(
-                four_b, four_f, flows_bwd[s], flows_fwd[s], pyr_c[s]
-            )
+            if not cm:
+                out = photometric_pack(
+                    four_b, four_f, flows_bwd[s], flows_fwd[s], pyr_c[s]
+                )
             h_s, w_s = pyr_c[s].shape[1], pyr_c[s].shape[2]
             hw = h_s * w_s
             mean_w = out["s_w"] / hw + 1e-12

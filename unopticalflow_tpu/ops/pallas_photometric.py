@@ -49,13 +49,33 @@ _EPS_DIV = 1e-12
 # ---------------------------------------------------------------------------
 
 
-def _window(a_ref, b_ref, rows: int, tile_h: int):
+def _window2(a, b_blk, rows: int, tile_h: int):
     """First ``rows`` rows of the (2*TH)-row span of two consecutive blocks."""
-    a = a_ref[0]
     if rows <= tile_h:
         return a[:, :rows]
-    b = b_ref[0]
-    return jnp.concatenate([a, b[:, : rows - tile_h]], axis=1)
+    return jnp.concatenate([a, b_blk[:, : rows - tile_h]], axis=1)
+
+
+def _window(a_ref, b_ref, rows: int, tile_h: int):
+    return _window2(a_ref[0], b_ref[0] if rows > tile_h else a_ref[0],
+                    rows, tile_h)
+
+
+def _unpack_pairs(u):
+    """(P, R, W) u32 of little-endian bf16 pairs -> (2P, R, W) f32 (exact).
+
+    bf16 is truncated f32, so placing the 16 bf16 bits in the high half of a
+    u32 word and bitcasting IS the bf16 -> f32 conversion — two VPU integer
+    ops per pair, no relayout (the channel-major gather contract of
+    ops/warp.py::warp_corners_cm).
+    """
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    chans = []
+    for p in range(u.shape[0]):
+        chans.append(lo[p])
+        chans.append(hi[p])
+    return jnp.stack(chans, axis=0)
 
 
 def _pool3(x):
@@ -173,9 +193,26 @@ def _ssim_map(mu_x, mu_y, px2, py2, pxy):
 
 def _fwd_kernel(ff_a, ff_b, fl_a, fl_b, im_a, im_b, w_out, sums_out,
                 *, tile_h, h_img, w_img):
-    i = pl.program_id(1)
     rows = tile_h + 2
     ff = _window(ff_a, ff_b, rows, tile_h).astype(jnp.float32)  # (24, R, W)
+    _fwd_body(ff, fl_a, fl_b, im_a, im_b, w_out, sums_out,
+              tile_h=tile_h, h_img=h_img, w_img=w_img)
+
+
+def _fwd_kernel_cm(ff_a, ff_b, fl_a, fl_b, im_a, im_b, w_out, sums_out,
+                   *, tile_h, h_img, w_img):
+    # ff blocks are channel-major u32 pairs (12, 1, TH, W): unpack in-register
+    rows = tile_h + 2
+    ffu = _window2(ff_a[:, 0], ff_b[:, 0] if rows > tile_h else ff_a[:, 0],
+                   rows, tile_h)
+    _fwd_body(_unpack_pairs(ffu), fl_a, fl_b, im_a, im_b, w_out, sums_out,
+              tile_h=tile_h, h_img=h_img, w_img=w_img)
+
+
+def _fwd_body(ff, fl_a, fl_b, im_a, im_b, w_out, sums_out,
+              *, tile_h, h_img, w_img):
+    i = pl.program_id(1)
+    rows = tile_h + 2
     fl = _window(fl_a, fl_b, rows, tile_h).astype(jnp.float32)  # (4, R, W)
     img = _window(im_a, im_b, rows, tile_h).astype(jnp.float32)  # (3, R, W)
     row0 = (i * tile_h - 1).astype(jnp.float32)
@@ -219,9 +256,25 @@ def _fwd_kernel(ff_a, ff_b, fl_a, fl_b, im_a, im_b, w_out, sums_out,
 
 def _bwd_kernel(ff_a, ff_b, fl_a, fl_b, im_a, im_b, g_ref, dflow_out,
                 *, tile_h, h_img, w_img):
-    i = pl.program_id(1)
     rows = tile_h + 4
     ff = _window(ff_a, ff_b, rows, tile_h).astype(jnp.float32)
+    _bwd_body(ff, fl_a, fl_b, im_a, im_b, g_ref, dflow_out,
+              tile_h=tile_h, h_img=h_img, w_img=w_img)
+
+
+def _bwd_kernel_cm(ff_a, ff_b, fl_a, fl_b, im_a, im_b, g_ref, dflow_out,
+                   *, tile_h, h_img, w_img):
+    rows = tile_h + 4
+    ffu = _window2(ff_a[:, 0], ff_b[:, 0] if rows > tile_h else ff_a[:, 0],
+                   rows, tile_h)
+    _bwd_body(_unpack_pairs(ffu), fl_a, fl_b, im_a, im_b, g_ref, dflow_out,
+              tile_h=tile_h, h_img=h_img, w_img=w_img)
+
+
+def _bwd_body(ff, fl_a, fl_b, im_a, im_b, g_ref, dflow_out,
+              *, tile_h, h_img, w_img):
+    i = pl.program_id(1)
+    rows = tile_h + 4
     fl = _window(fl_a, fl_b, rows, tile_h).astype(jnp.float32)
     img = _window(im_a, im_b, rows, tile_h).astype(jnp.float32)
     row0 = (i * tile_h - 2).astype(jnp.float32)
@@ -444,6 +497,137 @@ def _pp_bwd(res, g):
 
 
 photometric_pack.defvjp(_pp_fwd, _pp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# channel-major variant: corner values arrive as (12, B, H, W) u32 bf16-pairs
+# straight from ops/warp.py::warp_corners_cm — no NHWC->NCHW boundary
+# transpose on the 24-channel tensor (the kernel's largest input) in either
+# pass; pairs unpack in-register (bf16 -> f32 is a 16-bit shift).
+# ---------------------------------------------------------------------------
+
+
+def _in_specs_cm(ch, tile_h, w):
+    def blk(off):
+        return pl.BlockSpec(
+            (ch, 1, tile_h, w),
+            lambda b, i, off=off: (0, b, i + off, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    return blk(0), blk(1)
+
+
+def _pp_run_fwd_cm(ffu, flow_b, flow_f, img):
+    bsz, h, w, _ = img.shape
+    tile_h = _TILE_H
+    n_tiles = h // tile_h
+    fl = jnp.concatenate([flow_b, flow_f], axis=-1).transpose(0, 3, 1, 2)
+    im = img.transpose(0, 3, 1, 2)
+    ffq = _two_blocks(ffu, tile_h, 1)  # pads axis 2 (= H here too)
+    flq = _two_blocks(fl, tile_h, 1)
+    imq = _two_blocks(im, tile_h, 1)
+    ff_s = _in_specs_cm(12, tile_h, w)
+    fl_s = _in_specs(4, tile_h, w)
+    im_s = _in_specs(3, tile_h, w)
+    w_out, sums = pl.pallas_call(
+        functools.partial(_fwd_kernel_cm, tile_h=tile_h, h_img=h, w_img=w),
+        grid=(bsz, n_tiles),
+        in_specs=[*ff_s, *fl_s, *im_s],
+        out_specs=(
+            pl.BlockSpec((1, 2, tile_h, w), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, 2, h, w), img.dtype),
+            jax.ShapeDtypeStruct((bsz, n_tiles, 8, 128), jnp.float32),
+        ),
+    )(ffq, ffq, flq, flq, imq, imq)
+    tots = jnp.sum(sums[..., 0], axis=1)  # (B, 8)
+    return {
+        "s_dw": jnp.concatenate([tots[:, 0], tots[:, 3]], 0),
+        "s_w": jnp.concatenate([tots[:, 1], tots[:, 4]], 0),
+        "s_cl": jnp.concatenate([tots[:, 2], tots[:, 5]], 0),
+        "weights": jnp.concatenate(
+            [w_out[:, 0:1], w_out[:, 1:2]], 0
+        ).transpose(0, 2, 3, 1),
+    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def photometric_pack_cm(ffu, flow_b, flow_f, img):
+    """``photometric_pack`` with channel-major u32 corner pairs.
+
+    Args:
+        ffu: (12, B, H, W) uint32 — bf16 corner pairs [bwd 6; fwd 6]
+            (warp_corners_cm output per direction, concatenated on axis 0) —
+            NOT differentiated (integer; loss-warp images are
+            stop_gradient'd pyramids).
+        flow_b/flow_f/img: as in photometric_pack (NHWC).
+    Returns: identical contract to photometric_pack; values bit-equal (the
+        in-kernel pair unpack is exactly the bf16->f32 astype of the packed
+        path).
+    """
+    out, _ = _ppc_fwd(ffu, flow_b, flow_f, img)
+    return out
+
+
+def _ppc_fwd(ffu, flow_b, flow_f, img):
+    out = _pp_run_fwd_cm(ffu, flow_b, flow_f, img)
+    out = {
+        k: (jax.lax.stop_gradient(v) if k in ("s_w", "weights") else v)
+        for k, v in out.items()
+    }
+    return out, (ffu, flow_b, flow_f, img)
+
+
+def _ppc_bwd(res, g):
+    import numpy as _np
+
+    from jax import dtypes as _dtypes
+
+    ffu, flow_b, flow_f, img = res
+    bsz, h, w, _ = img.shape
+    tile_h = _TILE_H
+    n_tiles = h // tile_h
+    fl = jnp.concatenate([flow_b, flow_f], axis=-1).transpose(0, 3, 1, 2)
+    im = img.transpose(0, 3, 1, 2)
+    ffq = _two_blocks(ffu, tile_h, 2)
+    flq = _two_blocks(fl, tile_h, 2)
+    imq = _two_blocks(im, tile_h, 2)
+    g_dw = g["s_dw"].astype(jnp.float32)
+    g_cl = g["s_cl"].astype(jnp.float32)
+    zeros = jnp.zeros((bsz,), jnp.float32)
+    gpack = jnp.stack(
+        [g_dw[:bsz], zeros, g_cl[:bsz], g_dw[bsz:], zeros, g_cl[bsz:],
+         zeros, zeros],
+        axis=1,
+    ).reshape(bsz, 1, 8)
+    ff_s = _in_specs_cm(12, tile_h, w)
+    fl_s = _in_specs(4, tile_h, w)
+    im_s = _in_specs(3, tile_h, w)
+    dflow = pl.pallas_call(
+        functools.partial(_bwd_kernel_cm, tile_h=tile_h, h_img=h, w_img=w),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            *ff_s, *fl_s, *im_s,
+            pl.BlockSpec((1, 1, 8), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, tile_h, w), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, 4, h, w), jnp.float32),
+    )(ffq, ffq, flq, flq, imq, imq, gpack)
+    dflow = dflow.transpose(0, 2, 3, 1)  # (B, H, W, 4)
+    d_flow_b = dflow[..., 0:2].astype(flow_b.dtype)
+    d_flow_f = dflow[..., 2:4].astype(flow_f.dtype)
+    d_ffu = _np.zeros(ffu.shape, _dtypes.float0)
+    return d_ffu, d_flow_b, d_flow_f, jnp.zeros_like(img)
+
+
+photometric_pack_cm.defvjp(_ppc_fwd, _ppc_bwd)
 
 
 # ---------------------------------------------------------------------------
