@@ -64,6 +64,9 @@ def main():
                    help="row-width sweep of the flat u32 take only")
     p.add_argument("--layout", action="store_true",
                    help="channel-major operand/output layout probe")
+    p.add_argument("--diffwarp", action="store_true",
+                   help="decoder-warp geometry: fwd gather + scatter VJP in "
+                        "row-major vs channel-major layout (wide bf16 rows)")
     args = p.parse_args()
 
     b = args.batch
@@ -184,6 +187,64 @@ def main():
             return jnp.concatenate(parts, axis=1)
 
         return taa_chunked
+
+    if args.diffwarp:
+        # Decoder feature-warp geometry, level 2 dominates: 2B=16 images at
+        # (64, 208) with C=32 features -> packed 4C=128 bf16 per row.  The
+        # differentiable path needs BOTH directions fast: flat-take forward
+        # (current) + batched scatter backward vs channel-major take +
+        # channel-major scatter.
+        bb, hh, ww, cc = 16, 64, 208, 32
+        sn = (hh + 1) * (ww + 1)
+        nn = bb * hh * ww
+        fidx = jnp.asarray(
+            (rng.randint(0, sn, (bb, hh * ww))
+             + (np.arange(bb) * sn)[:, None]).reshape(-1).astype(np.int32))
+        bidx = jnp.asarray(rng.randint(0, sn, (bb, hh * ww)).astype(np.int32))
+        op_rm = jnp.asarray(rng.randn(bb * sn, 4 * cc).astype(np.float32),
+                            jnp.bfloat16)
+        op_cm = jnp.asarray(
+            np.ascontiguousarray(rng.randn(4 * cc, bb * sn).astype(np.float32)),
+            jnp.bfloat16)
+        g_rm = jnp.asarray(rng.randn(nn, 4 * cc).astype(np.float32), jnp.bfloat16)
+        g_cm = jnp.asarray(rng.randn(4 * cc, nn).astype(np.float32), jnp.bfloat16)
+        g_b = g_rm.reshape(bb, hh * ww, 4 * cc)
+
+        @jax.jit
+        def rm_fwd(op, idx):
+            return jnp.take(op, idx, axis=0)
+
+        @jax.jit
+        def cm_fwd(op, idx):
+            return jnp.take(op, idx, axis=1)
+
+        @jax.jit
+        def rm_bwd_batched(g, idx):  # current hand VJP (take_along_axis adjoint)
+            return (
+                jnp.zeros((bb, sn, 4 * cc), g.dtype)
+                .at[jnp.arange(bb)[:, None], idx]
+                .add(g)
+            )
+
+        @jax.jit
+        def cm_bwd(g, idx):  # channel-major scatter over the flat source
+            return jnp.zeros((4 * cc, bb * sn), g.dtype).at[:, idx].add(g)
+
+        @jax.jit
+        def rm_bwd_flat(g, idx):  # known-4x-slow flat scatter, for reference
+            return jnp.zeros((bb * sn, 4 * cc), g.dtype).at[idx].add(g)
+
+        results = {
+            "rm_fwd": timeit(rm_fwd, op_rm, fidx),
+            "cm_fwd": timeit(cm_fwd, op_cm, fidx),
+            "rm_bwd_batched": timeit(rm_bwd_batched, g_b, bidx),
+            "cm_bwd": timeit(cm_bwd, g_cm, fidx),
+            "rm_bwd_flat": timeit(rm_bwd_flat, g_rm, fidx),
+        }
+        print(f"rows={nn} ({bb}x{hh}x{ww}, {4*cc}ch bf16) decoder-warp probe")
+        for k, v in results.items():
+            print(f"  {k:16s} {v:8.2f} ms   {v * 1e6 / nn:6.2f} ns/row")
+        return
 
     if args.layout:
         # Hypothesis: XLA's lowering of the row-major (R, 6) u32 take spends

@@ -288,3 +288,41 @@ def test_warp_corners_cm_matches_packed():
     np.testing.assert_array_equal(
         np.asarray(unpacked, np.float32), np.asarray(packed, np.float32)
     )
+
+
+def test_bilinear_warp_nchw_matches_nhwc():
+    """bilinear_warp_nchw == transpose(bilinear_warp): forward bit-equal,
+    grads equal up to scatter-accumulation order (ops/warp.py)."""
+    import jax
+
+    from unopticalflow_tpu.ops.warp import bilinear_warp, bilinear_warp_nchw
+
+    rng = np.random.RandomState(3)
+    for dt, tol in ((jnp.float32, 2e-6), (jnp.bfloat16, 5e-2)):
+        img = jnp.asarray(rng.randn(2, 16, 24, 12).astype(np.float32), dt)
+        flow = jnp.asarray(rng.uniform(-6, 6, (2, 16, 24, 2)).astype(np.float32))
+        a = bilinear_warp(img, flow, use_mask=False)
+        b = bilinear_warp_nchw(img, flow).transpose(0, 2, 3, 1)
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
+        )
+
+        def la(i, f):
+            return jnp.sum(
+                bilinear_warp(i, f, use_mask=False).astype(jnp.float32) ** 2
+            )
+
+        def lb(i, f):
+            return jnp.sum(
+                bilinear_warp_nchw(i, f)
+                .transpose(0, 2, 3, 1)
+                .astype(jnp.float32) ** 2
+            )
+
+        ga = jax.grad(la, (0, 1))(img, flow)
+        gb = jax.grad(lb, (0, 1))(img, flow)
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(
+                np.asarray(x, np.float32), np.asarray(y, np.float32),
+                rtol=tol, atol=tol,
+            )

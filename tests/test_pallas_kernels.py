@@ -68,3 +68,35 @@ def test_pallas_corr_bf16_interpret():
     np.testing.assert_allclose(
         np.asarray(got, dtype=np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+
+
+def test_f2c_variant_matches_nhwc_interpret():
+    """cost_volume_pallas_f2c (f2 pre-NCHW, df2 out NCHW) == the NHWC form,
+    on a supported shape and on the XLA-fallback shape."""
+    from unopticalflow_tpu.ops.pallas_kernels import (
+        cost_volume_pallas,
+        cost_volume_pallas_f2c,
+    )
+
+    rng = np.random.RandomState(5)
+    for h in (16, 4):  # 4 % 8 != 0 -> fallback path
+        f1 = jnp.asarray(rng.randn(2, h, 32, 16).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(2, h, 32, 16).astype(np.float32))
+        f2c = jnp.transpose(f2, (0, 3, 1, 2))
+        with pltpu.force_tpu_interpret_mode():
+            a, vjpa = jax.vjp(lambda x, y: cost_volume_pallas(x, y, 4), f1, f2)
+            b, vjpb = jax.vjp(
+                lambda x, y: cost_volume_pallas_f2c(x, y, 4), f1, f2c
+            )
+            g = jnp.asarray(rng.randn(*a.shape).astype(np.float32))
+            da1, da2 = vjpa(g)
+            db1, db2c = vjpb(g)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(da1), np.asarray(db1),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(da2),
+            np.asarray(jnp.transpose(db2c, (0, 2, 3, 1))),
+            rtol=1e-6, atol=1e-6,
+        )

@@ -234,3 +234,44 @@ def _bwd(md, res, g):
 
 
 cost_volume_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def cost_volume_pallas_f2c(f1: jax.Array, f2c: jax.Array, md: int = 4):
+    """``cost_volume_pallas`` with f2 already NCHW (the kernel's native form).
+
+    f1: (B, H, W, C) NHWC; f2c: (B, C, H, W).  Output NHWC, identical values
+    and channel order.  Used with ``ops/warp.py::bilinear_warp_nchw`` so the
+    decoder's warped features never cross an NHWC<->NCHW boundary in either
+    pass — df2 is returned NCHW straight from the df2 kernel.
+    """
+    return _fwd_f2c(f1, f2c, md)[0]
+
+
+def _fwd_f2c(f1, f2c, md):
+    if not _supported(f1.shape[1], md):
+        from unopticalflow_tpu.ops.cost_volume import cost_volume_xla
+
+        f2 = jnp.transpose(f2c, (0, 2, 3, 1))
+        return cost_volume_xla(f1, f2, md), (f1, f2c)
+    f1c = jnp.transpose(f1, (0, 3, 1, 2))
+    out = _corr_fwd_nchw(f1c, f2c, md)
+    return jnp.transpose(out, (0, 2, 3, 1)), (f1, f2c)
+
+
+def _bwd_f2c(md, res, g):
+    f1, f2c = res
+    if not _supported(f1.shape[1], md):
+        from unopticalflow_tpu.ops.pallas_kernels_xla_bwd import cost_volume_bwd_xla
+
+        f2 = jnp.transpose(f2c, (0, 2, 3, 1))
+        df1, df2 = cost_volume_bwd_xla(md, (f1, f2), g)
+        return df1, jnp.transpose(df2, (0, 3, 1, 2))
+    gc = jnp.transpose(g, (0, 3, 1, 2))
+    f1c = jnp.transpose(f1, (0, 3, 1, 2))
+    df1 = _corr_df1_nchw(gc, f2c, md)
+    df2c = _corr_df2_nchw(gc, f1c, md)
+    return jnp.transpose(df1, (0, 2, 3, 1)), df2c
+
+
+cost_volume_pallas_f2c.defvjp(_fwd_f2c, _bwd_f2c)

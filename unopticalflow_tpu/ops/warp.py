@@ -288,6 +288,50 @@ def warp_corners_cm(img: jax.Array, flow: jax.Array) -> jax.Array:
     return out.reshape(2 * c, b, h, w)
 
 
+def bilinear_warp_nchw(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Differentiable warp returning NCHW — the decoder fast path.
+
+    Same values as ``bilinear_warp(img, flow, use_mask=False)`` (NHWC in,
+    transposed out), but the packed corner table is built channel-major and
+    fetched with an axis-1 ``jnp.take``:
+
+    * the channel-major take skips XLA's row-major relayout while-loops
+      (benchmarks/gather_probe.py --layout);
+    * its NATIVE adjoint is the channel-major scatter-add — measured 7.26 vs
+      8.28 ns/row for the batched row-major form at decoder geometry
+      (--diffwarp), so no custom VJP is needed;
+    * the NCHW output feeds the Pallas cost-volume kernel
+      (ops/pallas_kernels.py, NCHW-native) with no boundary transpose, and
+      the df2 cotangent flows back in NCHW the same way.
+    """
+    b, h, w, c = img.shape
+    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    x = gx + flow[..., 0]
+    y = gy + flow[..., 1]
+    corners = _corner_weights((h, w), x, y)
+
+    pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate(
+        [pad[:, :-1, :-1], pad[:, :-1, 1:], pad[:, 1:, :-1], pad[:, 1:, 1:]],
+        axis=-1,
+    )  # (B, H+1, W+1, 4C)
+    hp, wp = h + 1, w + 1
+    op = packed.transpose(3, 0, 1, 2).reshape(4 * c, b * hp * wp)
+
+    y0, x0 = corners[0][0], corners[0][1]
+    iy = jnp.clip(y0 + 1, 0, h)
+    ix = jnp.clip(x0 + 1, 0, w)
+    off = (jnp.arange(b, dtype=jnp.int32) * (hp * wp)).reshape(b, 1, 1)
+    fidx = (iy * wp + ix + off).reshape(-1)
+    four = jnp.take(op, fidx, axis=1).reshape(4 * c, b, h, w)
+
+    out = 0.0
+    for k, (_, _, wgt) in enumerate(corners):
+        out = out + four[k * c : (k + 1) * c] * wgt.astype(img.dtype)[None]
+    return out.transpose(1, 0, 2, 3)  # (B, C, H, W)
+
+
 def bilinear_warp(
     img: jax.Array, flow: jax.Array, use_mask: bool = False,
     gather_u32: bool = False, gather_u8: bool = False,
