@@ -363,6 +363,21 @@ def _bwd_body(ff, fl_a, fl_b, im_a, im_b, g_ref, dflow_out,
 _TILE_H = 8
 
 
+def _tile_h(h: int, w: int) -> int:
+    """Largest supported tile height under a VMEM budget.
+
+    Taller tiles amortize the fixed halo rows (+2 fwd, +4 bwd — at TH=8 the
+    bwd window is 50% halo) and cut grid dispatches; capped at 16 — TH=32
+    at the recipe's full-res scale blows the 16 MB scoped-VMEM stack in the
+    bwd kernel (22.5M, measured) — and bounded by a temporary-budget check
+    for wide rows.
+    """
+    for th in (16, 8):
+        if h % th == 0 and 26 * 4 * (th + 4) * w * 2 <= 8 * 1024 * 1024:
+            return th
+    return _TILE_H
+
+
 def _two_blocks(x, tile_h, pad):
     """Pad rows by ``pad`` top (+ tail) so blocks (i, i+1) cover any window."""
     b, c, h, w = x.shape
@@ -410,7 +425,7 @@ def photometric_pack(four_b, four_f, flow_b, flow_f, img):
 
 def _pp_run_fwd(four_b, four_f, flow_b, flow_f, img):
     bsz, h, w, _ = img.shape
-    tile_h = _TILE_H
+    tile_h = _tile_h(h, w)
     n_tiles = h // tile_h
     ff, fl, im = _pack_inputs(four_b, four_f, flow_b, flow_f, img)
     ffq = _two_blocks(ff, tile_h, 1)
@@ -458,7 +473,7 @@ def _pp_fwd(four_b, four_f, flow_b, flow_f, img):
 def _pp_bwd(res, g):
     four_b, four_f, flow_b, flow_f, img = res
     bsz, h, w, _ = img.shape
-    tile_h = _TILE_H
+    tile_h = _tile_h(h, w)
     n_tiles = h // tile_h
     ff, fl, im = _pack_inputs(four_b, four_f, flow_b, flow_f, img)
     ffq = _two_blocks(ff, tile_h, 2)
@@ -520,7 +535,7 @@ def _in_specs_cm(ch, tile_h, w):
 
 def _pp_run_fwd_cm(ffu, flow_b, flow_f, img):
     bsz, h, w, _ = img.shape
-    tile_h = _TILE_H
+    tile_h = _tile_h(h, w)
     n_tiles = h // tile_h
     fl = jnp.concatenate([flow_b, flow_f], axis=-1).transpose(0, 3, 1, 2)
     im = img.transpose(0, 3, 1, 2)
@@ -590,7 +605,7 @@ def _ppc_bwd(res, g):
 
     ffu, flow_b, flow_f, img = res
     bsz, h, w, _ = img.shape
-    tile_h = _TILE_H
+    tile_h = _tile_h(h, w)
     n_tiles = h // tile_h
     fl = jnp.concatenate([flow_b, flow_f], axis=-1).transpose(0, 3, 1, 2)
     im = img.transpose(0, 3, 1, 2)
