@@ -100,7 +100,11 @@ def _pick_tile_h(h: int, w: int, c: int, md: int) -> int:
         return -(-x // m) * m
 
     nd = (2 * md + 1) ** 2
-    budget = 8 * 1024 * 1024
+    # 12M measured best on v5e: at the KITTI recipe it lifts the level-2
+    # fwd/df1 kernels to TH=32 (less halo + fewer dispatches) while leaving
+    # df2 at TH=8; 14M (df2 -> TH=16) measured SLOWER (113.2 vs 114.5
+    # snippets/s) - oversized df2 tiles pipeline worse.
+    budget = 12 * 1024 * 1024
     wp = roundup(w + 2 * md, 128)
     for th in (32, 16, 8):
         if h % th or th < 2 * md:
