@@ -266,18 +266,36 @@ def warp_corners_cm(img: jax.Array, flow: jax.Array) -> jax.Array:
     y = gy + flow[..., 1]
     corners = _corner_weights((h, w), x, y)
 
+    # Build the (2C, R) operand DIRECTLY as one fusion output.  An earlier
+    # form produced (B, HP, WP, 2C) and transpose+reshaped it; XLA
+    # materialized that as TWO full relayout while-loops per table (e.g.
+    # u32[48,257,833] -> flat T(1024) -> (6, R); ~3.8 ms/step total at the
+    # KITTI recipe).  Here every input-side pad/slice/reshape fuses into the
+    # stack's write, and the bf16 pair packs via u16-bitcast + shift/or
+    # (elementwise — the trailing-pair-dim bitcast would reintroduce a
+    # layout step).  Element 0 of each pair sits in the LOW half-word,
+    # matching the little-endian contract of the packed path.
     pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    packed = jnp.concatenate(
-        [pad[:, :-1, :-1], pad[:, :-1, 1:], pad[:, 1:, :-1], pad[:, 1:, 1:]],
-        axis=-1,
-    )  # (B, H+1, W+1, 4C)
     hp, wp = h + 1, w + 1
-    u = jax.lax.bitcast_convert_type(
-        packed.reshape(b, hp, wp, 2 * c, 2), jnp.uint32
-    )  # (B, HP, WP, 2C)
-    # channel-major operand: XLA fuses pad+concat+bitcast+transpose into one
-    # table-build fusion writing this layout directly
-    op = u.transpose(3, 0, 1, 2).reshape(2 * c, b * hp * wp)
+    chans = []
+    for sy, sx in (
+        (slice(0, -1), slice(0, -1)),
+        (slice(0, -1), slice(1, None)),
+        (slice(1, None), slice(0, -1)),
+        (slice(1, None), slice(1, None)),
+    ):
+        for ch in range(c):
+            chans.append(pad[:, sy, sx, ch].reshape(-1))  # (R,) bf16
+    rows = []
+    for p in range(2 * c):
+        lo = jax.lax.bitcast_convert_type(chans[2 * p], jnp.uint16).astype(
+            jnp.uint32
+        )
+        hi = jax.lax.bitcast_convert_type(
+            chans[2 * p + 1], jnp.uint16
+        ).astype(jnp.uint32)
+        rows.append(lo | (hi << 16))
+    op = jnp.stack(rows, axis=0)  # (2C, B*HP*WP)
 
     y0, x0 = corners[0][0], corners[0][1]
     iy = jnp.clip(y0 + 1, 0, h)
