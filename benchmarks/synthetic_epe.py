@@ -1,0 +1,205 @@
+"""Occlusion-aware learning benchmark: piecewise motion + real occlusions.
+
+``sanity_train.py`` proves the loss stack can learn a constant translation;
+this benchmark is the stronger claim — the one the reference paper is about
+(occlusion-AWARE unsupervised flow, /root/reference/README.md:1-10): a
+textured foreground rectangle moves over a differently-moving background, so
+every snippet contains genuine occlusion/disocclusion bands where photometric
+matching is impossible.  The softmax diff-weight masks
+(models/losses.py, reference model_flow_paper.py:101-134) must gate those
+pixels out for training to converge; if the masks were broken, the occluded
+bands would drag the flow field toward photometric hallucinations.
+
+Ground truth is analytic (integer translations), so we can report true EPE —
+over all pixels, over non-occluded pixels, and per region (fg/bg) — plus the
+KITTI outlier rate (>3 px), from a from-scratch unsupervised training run at
+the production precision (bf16 + all Pallas kernels on TPU).
+
+No dataset, no checkpoint, no egress needed.  Prints one JSON line.
+
+Usage: PYTHONPATH=. python benchmarks/synthetic_epe.py [--iters 4000]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _texture(rng, h, w, smooth):
+    t = rng.rand(h, w, 3).astype(np.float32)
+    for _ in range(smooth):
+        t = (
+            t
+            + np.roll(t, 1, 0) + np.roll(t, -1, 0)
+            + np.roll(t, 1, 1) + np.roll(t, -1, 1)
+        ) / 5.0
+    # renormalize contrast so photometric gradients stay informative
+    t -= t.min()
+    t /= max(t.max(), 1e-6)
+    return t
+
+
+def make_snippet(rng, h, w, max_bg=4, max_fg=8):
+    """One 3-frame snippet (3H, W, 3) + GT center->next flow + occlusion mask.
+
+    Background translates by integer (u_b, v_b), a foreground rectangle by
+    (u_f, v_f); frames are sampled at times t-1, t, t+1 so the snippet is
+    consistent linear motion (what the 3-frame loss assumes).  Returns:
+        stacked: (3h, w, 3) float32 in [0, 1]
+        flow_gt: (h, w, 2) forward flow (u, v) of the CENTER frame
+        nonocc:  (h, w) bool — center pixels still visible at t+1
+    """
+    max_fg = min(max_fg, h // 8, w // 8)  # keep the rect placeable (small frames)
+    pad = 2 * max(max_bg, max_fg) + 2
+    big = _texture(rng, h + 2 * pad, w + 2 * pad, smooth=3)
+    u_b, v_b = rng.randint(-max_bg, max_bg + 1, size=2)
+    u_f, v_f = rng.randint(-max_fg, max_fg + 1, size=2)
+
+    rh = rng.randint(h // 4, h // 2 + 1)
+    rw = rng.randint(w // 6, w // 3 + 1)
+    # foreground texture at a different smoothing scale (distinct content)
+    fg_tex = _texture(rng, rh, rw, smooth=1)
+    # keep the rectangle inside the frame at every time step (k = -1, 0, +1)
+    ry = rng.randint(abs(v_f) + 1, h - rh - abs(v_f))
+    rx = rng.randint(abs(u_f) + 1, w - rw - abs(u_f))
+
+    frames = []
+    fg_masks = []
+    for k in (-1, 0, 1):
+        y0 = pad - k * v_b
+        x0 = pad - k * u_b
+        fr = big[y0 : y0 + h, x0 : x0 + w].copy()
+        fy, fx = ry + k * v_f, rx + k * u_f
+        fr[fy : fy + rh, fx : fx + rw] = fg_tex
+        m = np.zeros((h, w), bool)
+        m[fy : fy + rh, fx : fx + rw] = True
+        frames.append(fr)
+        fg_masks.append(m)
+
+    flow_gt = np.empty((h, w, 2), np.float32)
+    flow_gt[..., 0] = u_b
+    flow_gt[..., 1] = v_b
+    flow_gt[fg_masks[1]] = (u_f, v_f)
+
+    # center bg pixels whose destination is covered by the fg at t+1 (or
+    # leaves the frame) are occluded; fg pixels stay visible by construction
+    ys, xs = np.mgrid[0:h, 0:w]
+    dst_y = ys + flow_gt[..., 1].astype(int)
+    dst_x = xs + flow_gt[..., 0].astype(int)
+    inside = (dst_y >= 0) & (dst_y < h) & (dst_x >= 0) & (dst_x < w)
+    covered = np.zeros((h, w), bool)
+    ok = inside & ~fg_masks[1]
+    covered[ok] = fg_masks[2][dst_y[ok], dst_x[ok]]
+    nonocc = inside & ~covered
+
+    return np.concatenate(frames, axis=0), flow_gt, nonocc
+
+
+def make_batch(rng, batch, h, w, **kw):
+    out = [make_snippet(rng, h, w, **kw) for _ in range(batch)]
+    return (
+        np.stack([o[0] for o in out]),
+        np.stack([o[1] for o in out]),
+        np.stack([o[2] for o in out]),
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=4000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--hw", type=int, nargs=2, default=(128, 256))  # divisible by 64
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--eval-snippets", type=int, default=32)
+    p.add_argument("--fp32", action="store_true",
+                   help="disable the production bf16+Pallas path")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from unopticalflow_tpu.models import (
+        FlowModelConfig,
+        inference_flow,
+        init_flow_model,
+    )
+    from unopticalflow_tpu.training import create_train_state, make_train_step
+    from unopticalflow_tpu.utils.platform import on_tpu
+
+    prec = "float32" if args.fp32 else "bfloat16"
+    cfg = FlowModelConfig(
+        num_scales=3,
+        compute_dtype=prec,
+        loss_dtype=prec,
+        use_pallas_corr=on_tpu(),
+        use_pallas_photo=(prec == "bfloat16") and on_tpu(),
+    )
+    weights = {  # the KITTI recipe table (config/kitti.yaml)
+        "loss_pixel": 0.15,
+        "loss_ssim": 0.85,
+        "loss_flow_smooth": 10.0,
+        "loss_flow_consis": 0.01,
+    }
+    params = init_flow_model(jax.random.PRNGKey(0))
+    state = create_train_state(params, lr=args.lr)
+    step = make_train_step(cfg, weights, lr=args.lr)
+
+    h, w = args.hw
+    rng = np.random.RandomState(0)
+    t0 = time.time()
+    for it in range(args.iters):
+        batch, _, _ = make_batch(rng, args.batch, h, w)
+        state, m = step(state, jnp.asarray(batch))
+        if it % 250 == 0 or it == args.iters - 1:
+            print(
+                f"iter {it}: total {float(m['loss_total']):.4f} "
+                f"pixel {float(m['loss_pixel']):.4f} "
+                f"ssim {float(m['loss_ssim']):.4f} ({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+
+    # ---- held-out eval (fresh seed) ----
+    erng = np.random.RandomState(12345)
+    infer = jax.jit(lambda p, a, b: inference_flow(p, cfg, a, b))
+    epe_all, epe_noc, epe_fg, epe_bg, outlier = [], [], [], [], []
+    done = 0
+    while done < args.eval_snippets:
+        n = min(args.batch, args.eval_snippets - done)
+        stacked, gt, noc = make_batch(erng, n, h, w)
+        img1 = jnp.asarray(stacked[:, h : 2 * h])
+        img2 = jnp.asarray(stacked[:, 2 * h :])
+        flow = np.asarray(infer(state.params, img1, img2), np.float32)
+        err = np.linalg.norm(flow - gt, axis=-1)  # (n, h, w)
+        fg = np.linalg.norm(gt - gt[:, :1, :1], axis=-1) > 0  # fg-region proxy
+        for i in range(n):
+            epe_all.append(err[i].mean())
+            epe_noc.append(err[i][noc[i]].mean())
+            if fg[i].any():
+                epe_fg.append(err[i][fg[i]].mean())
+                epe_bg.append(err[i][~fg[i]].mean())
+            mag = np.linalg.norm(gt[i], axis=-1)
+            outlier.append(
+                ((err[i] > 3.0) & (err[i] > 0.05 * np.maximum(mag, 1e-6))).mean()
+            )
+        done += n
+
+    result = {
+        "benchmark": "synthetic piecewise-motion EPE (occlusion-aware)",
+        "iters": args.iters,
+        "hw": list(args.hw),
+        "precision": prec,
+        "platform": jax.devices()[0].platform,
+        "epe_all": round(float(np.mean(epe_all)), 3),
+        "epe_nonoccluded": round(float(np.mean(epe_noc)), 3),
+        "epe_fg": round(float(np.mean(epe_fg)), 3),
+        "epe_bg": round(float(np.mean(epe_bg)), 3),
+        "outlier_rate_kitti": round(float(np.mean(outlier)), 4),
+        "train_seconds": round(time.time() - t0, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
