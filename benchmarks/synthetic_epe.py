@@ -27,14 +27,27 @@ import time
 import numpy as np
 
 
-def _texture(rng, h, w, smooth):
-    t = rng.rand(h, w, 3).astype(np.float32)
-    for _ in range(smooth):
-        t = (
-            t
-            + np.roll(t, 1, 0) + np.roll(t, -1, 0)
-            + np.roll(t, 1, 1) + np.roll(t, -1, 1)
-        ) / 5.0
+def _texture(rng, h, w, octaves):
+    """Multi-octave (1/f-like) texture — structure at EVERY pyramid scale.
+
+    Plain smoothed white noise averages to flat gray at the coarse pyramid
+    levels (/4 ... /64), which deletes the coarse-to-fine photometric signal
+    PWC-style training bootstraps from; natural images are ~1/f.  Summing
+    nearest-neighbor-upsampled noise octaves (power growing with scale)
+    gives informative photometric gradients at every decoder level.
+    """
+    t = np.zeros((h, w, 3), np.float32)
+    for o in range(octaves):
+        s = 2**o
+        small = rng.rand(h // s + 2, w // s + 2, 3).astype(np.float32)
+        up = np.repeat(np.repeat(small, s, 0), s, 1)[:h, :w]
+        t += (s**0.5) * up
+    # light box smooth so block edges do not alias under bilinear warps
+    t = (
+        t
+        + np.roll(t, 1, 0) + np.roll(t, -1, 0)
+        + np.roll(t, 1, 1) + np.roll(t, -1, 1)
+    ) / 5.0
     # renormalize contrast so photometric gradients stay informative
     t -= t.min()
     t /= max(t.max(), 1e-6)
@@ -53,14 +66,14 @@ def make_snippet(rng, h, w, max_bg=4, max_fg=8):
     """
     max_fg = min(max_fg, h // 8, w // 8)  # keep the rect placeable (small frames)
     pad = 2 * max(max_bg, max_fg) + 2
-    big = _texture(rng, h + 2 * pad, w + 2 * pad, smooth=3)
+    big = _texture(rng, h + 2 * pad, w + 2 * pad, octaves=6)
     u_b, v_b = rng.randint(-max_bg, max_bg + 1, size=2)
     u_f, v_f = rng.randint(-max_fg, max_fg + 1, size=2)
 
     rh = rng.randint(h // 4, h // 2 + 1)
     rw = rng.randint(w // 6, w // 3 + 1)
-    # foreground texture at a different smoothing scale (distinct content)
-    fg_tex = _texture(rng, rh, rw, smooth=1)
+    # foreground texture at a different octave mix (distinct content)
+    fg_tex = _texture(rng, rh, rw, octaves=4)
     # keep the rectangle inside the frame at every time step (k = -1, 0, +1)
     ry = rng.randint(abs(v_f) + 1, h - rh - abs(v_f))
     rx = rng.randint(abs(u_f) + 1, w - rw - abs(u_f))
@@ -112,7 +125,17 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--hw", type=int, nargs=2, default=(128, 256))  # divisible by 64
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--max-bg", type=int, default=4,
+                   help="max |background translation| in px")
+    p.add_argument("--max-fg", type=int, default=8,
+                   help="max |foreground translation| in px (0 = global "
+                        "translation only, no occlusion: diagnostic mode)")
     p.add_argument("--eval-snippets", type=int, default=32)
+    p.add_argument("--pool", type=int, default=0,
+                   help="pregenerate N snippets (float16) and sample batches "
+                        "from them with random horizontal flips, instead of "
+                        "generating fresh data every iter — the 1-core host's "
+                        "numpy generator otherwise bounds the step rate")
     p.add_argument("--fp32", action="store_true",
                    help="disable the production bf16+Pallas path")
     args = p.parse_args()
@@ -148,10 +171,28 @@ def main():
 
     h, w = args.hw
     rng = np.random.RandomState(0)
+    gen_kw = dict(max_bg=args.max_bg, max_fg=args.max_fg)
+    if args.pool:
+        print(f"pregenerating {args.pool}-snippet pool ...", flush=True)
+        stacked_pool = np.stack(
+            [make_snippet(rng, h, w, **gen_kw)[0] for _ in range(args.pool)]
+        ).astype(np.float16)
+
+        def next_batch():
+            idx = rng.randint(0, args.pool, size=args.batch)
+            b = stacked_pool[idx].astype(np.float32)
+            flip = rng.rand(len(idx)) < 0.5  # mirrored motion = new snippet
+            b[flip] = b[flip, :, ::-1]
+            return b
+
+    else:
+
+        def next_batch():
+            return make_batch(rng, args.batch, h, w, **gen_kw)[0]
+
     t0 = time.time()
     for it in range(args.iters):
-        batch, _, _ = make_batch(rng, args.batch, h, w)
-        state, m = step(state, jnp.asarray(batch))
+        state, m = step(state, jnp.asarray(next_batch()))
         if it % 250 == 0 or it == args.iters - 1:
             print(
                 f"iter {it}: total {float(m['loss_total']):.4f} "
@@ -167,7 +208,7 @@ def main():
     done = 0
     while done < args.eval_snippets:
         n = min(args.batch, args.eval_snippets - done)
-        stacked, gt, noc = make_batch(erng, n, h, w)
+        stacked, gt, noc = make_batch(erng, n, h, w, **gen_kw)
         img1 = jnp.asarray(stacked[:, h : 2 * h])
         img2 = jnp.asarray(stacked[:, 2 * h :])
         flow = np.asarray(infer(state.params, img1, img2), np.float32)
@@ -193,8 +234,8 @@ def main():
         "platform": jax.devices()[0].platform,
         "epe_all": round(float(np.mean(epe_all)), 3),
         "epe_nonoccluded": round(float(np.mean(epe_noc)), 3),
-        "epe_fg": round(float(np.mean(epe_fg)), 3),
-        "epe_bg": round(float(np.mean(epe_bg)), 3),
+        "epe_fg": round(float(np.mean(epe_fg)), 3) if epe_fg else None,
+        "epe_bg": round(float(np.mean(epe_bg)), 3) if epe_bg else None,
         "outlier_rate_kitti": round(float(np.mean(outlier)), 4),
         "train_seconds": round(time.time() - t0, 1),
     }
