@@ -119,6 +119,43 @@ def make_batch(rng, batch, h, w, **kw):
     )
 
 
+def evaluate(params, args, gen_kw, infer):
+    """Held-out EPE (fixed fresh seed, so every call scores the SAME set)."""
+    import numpy as np
+
+    h, w = args.hw
+    erng = np.random.RandomState(12345)
+    epe_all, epe_noc, epe_fg, epe_bg, outlier = [], [], [], [], []
+    done = 0
+    while done < args.eval_snippets:
+        n = min(args.batch, args.eval_snippets - done)
+        stacked, gt, noc = make_batch(erng, n, h, w, **gen_kw)
+        flow = np.asarray(
+            infer(params, stacked[:, h : 2 * h], stacked[:, 2 * h :]),
+            np.float32,
+        )
+        err = np.linalg.norm(flow - gt, axis=-1)  # (n, h, w)
+        fg = np.linalg.norm(gt - gt[:, :1, :1], axis=-1) > 0  # fg-region proxy
+        for i in range(n):
+            epe_all.append(err[i].mean())
+            epe_noc.append(err[i][noc[i]].mean())
+            if fg[i].any():
+                epe_fg.append(err[i][fg[i]].mean())
+                epe_bg.append(err[i][~fg[i]].mean())
+            mag = np.linalg.norm(gt[i], axis=-1)
+            outlier.append(
+                ((err[i] > 3.0) & (err[i] > 0.05 * np.maximum(mag, 1e-6))).mean()
+            )
+        done += n
+    return {
+        "epe_all": round(float(np.mean(epe_all)), 3),
+        "epe_nonoccluded": round(float(np.mean(epe_noc)), 3),
+        "epe_fg": round(float(np.mean(epe_fg)), 3) if epe_fg else None,
+        "epe_bg": round(float(np.mean(epe_bg)), 3) if epe_bg else None,
+        "outlier_rate_kitti": round(float(np.mean(outlier)), 4),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=4000)
@@ -131,6 +168,9 @@ def main():
                    help="max |foreground translation| in px (0 = global "
                         "translation only, no occlusion: diagnostic mode)")
     p.add_argument("--eval-snippets", type=int, default=32)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="also run the held-out eval every N iters (learning "
+                        "curve; 0 = only at the end)")
     p.add_argument("--pool", type=int, default=0,
                    help="pregenerate N snippets (float16) and sample batches "
                         "from them with random horizontal flips, instead of "
@@ -138,6 +178,11 @@ def main():
                         "numpy generator otherwise bounds the step rate")
     p.add_argument("--fp32", action="store_true",
                    help="disable the production bf16+Pallas path")
+    p.add_argument("--save", default="",
+                   help="checkpoint path to write at --eval-every points and "
+                        "at the end (long runs become resumable)")
+    p.add_argument("--load", default="",
+                   help="checkpoint path to resume params+opt_state from")
     args = p.parse_args()
 
     import jax
@@ -168,6 +213,17 @@ def main():
     params = init_flow_model(jax.random.PRNGKey(0))
     state = create_train_state(params, lr=args.lr)
     step = make_train_step(cfg, weights, lr=args.lr)
+    it0 = 0
+    if args.load:
+        from unopticalflow_tpu.utils.checkpoint import restore_checkpoint
+
+        it0, params, opt_state = restore_checkpoint(
+            args.load, state.params, state.opt_state
+        )
+        state = state._replace(
+            step=jnp.asarray(it0, jnp.int32), params=params, opt_state=opt_state
+        )
+        print(f"resumed from {args.load} at iter {it0}", flush=True)
 
     h, w = args.hw
     rng = np.random.RandomState(0)
@@ -190,8 +246,16 @@ def main():
         def next_batch():
             return make_batch(rng, args.batch, h, w, **gen_kw)[0]
 
+    infer = jax.jit(lambda p, a, b: inference_flow(p, cfg, a, b))
+
+    def save(it):
+        if args.save:
+            from unopticalflow_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(args.save, it, state.params, state.opt_state)
+
     t0 = time.time()
-    for it in range(args.iters):
+    for it in range(it0, args.iters):
         state, m = step(state, jnp.asarray(next_batch()))
         if it % 250 == 0 or it == args.iters - 1:
             print(
@@ -200,31 +264,11 @@ def main():
                 f"ssim {float(m['loss_ssim']):.4f} ({time.time() - t0:.0f}s)",
                 flush=True,
             )
-
-    # ---- held-out eval (fresh seed) ----
-    erng = np.random.RandomState(12345)
-    infer = jax.jit(lambda p, a, b: inference_flow(p, cfg, a, b))
-    epe_all, epe_noc, epe_fg, epe_bg, outlier = [], [], [], [], []
-    done = 0
-    while done < args.eval_snippets:
-        n = min(args.batch, args.eval_snippets - done)
-        stacked, gt, noc = make_batch(erng, n, h, w, **gen_kw)
-        img1 = jnp.asarray(stacked[:, h : 2 * h])
-        img2 = jnp.asarray(stacked[:, 2 * h :])
-        flow = np.asarray(infer(state.params, img1, img2), np.float32)
-        err = np.linalg.norm(flow - gt, axis=-1)  # (n, h, w)
-        fg = np.linalg.norm(gt - gt[:, :1, :1], axis=-1) > 0  # fg-region proxy
-        for i in range(n):
-            epe_all.append(err[i].mean())
-            epe_noc.append(err[i][noc[i]].mean())
-            if fg[i].any():
-                epe_fg.append(err[i][fg[i]].mean())
-                epe_bg.append(err[i][~fg[i]].mean())
-            mag = np.linalg.norm(gt[i], axis=-1)
-            outlier.append(
-                ((err[i] > 3.0) & (err[i] > 0.05 * np.maximum(mag, 1e-6))).mean()
-            )
-        done += n
+        if args.eval_every and it and it % args.eval_every == 0:
+            mid = evaluate(state.params, args, gen_kw, infer)
+            print(json.dumps({"iter": it, **mid}), flush=True)
+            save(it)
+    save(args.iters)
 
     result = {
         "benchmark": "synthetic piecewise-motion EPE (occlusion-aware)",
@@ -232,11 +276,7 @@ def main():
         "hw": list(args.hw),
         "precision": prec,
         "platform": jax.devices()[0].platform,
-        "epe_all": round(float(np.mean(epe_all)), 3),
-        "epe_nonoccluded": round(float(np.mean(epe_noc)), 3),
-        "epe_fg": round(float(np.mean(epe_fg)), 3) if epe_fg else None,
-        "epe_bg": round(float(np.mean(epe_bg)), 3) if epe_bg else None,
-        "outlier_rate_kitti": round(float(np.mean(outlier)), 4),
+        **evaluate(state.params, args, gen_kw, infer),
         "train_seconds": round(time.time() - t0, 1),
     }
     print(json.dumps(result))
