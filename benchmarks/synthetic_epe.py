@@ -188,6 +188,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: resumed/repeated runs skip the 20-40 s
+    # tunneled TPU compiles (entries key on HLO, so staleness self-invalidates).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/unflow_jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from unopticalflow_tpu.models import (
         FlowModelConfig,
         inference_flow,

@@ -206,7 +206,10 @@ def build_arg_parser():
                    help="accepted for reference-CLI compatibility.")
     p.add_argument("--mode", type=str, default="flow")
     p.add_argument("--task", type=str, default="kitti_flow",
-                   help="kitti_flow | sintel_flow | demo (flow pair)")
+                   help="kitti_flow | sintel_flow | demo (flow pair) | "
+                        "export_pth (write a reference-loadable .pth)")
+    p.add_argument("--output_pth", type=str, default=None,
+                   help="output path for --task export_pth")
     p.add_argument("--sintel_dir", type=str, default=None,
                    help="MPI-Sintel training/ dir for --task sintel_flow "
                         "(defaults to the yaml's sintel_training_dir)")
@@ -256,11 +259,25 @@ if __name__ == "__main__":
         use_pallas_corr=use_pallas,
     )
     params = get_model(args.mode)(jax.random.PRNGKey(0))
+    ckpt_iteration = 0
     if args.pretrained_model:
-        _, params = ckpt.load_pretrained(args.pretrained_model, params)
+        ckpt_iteration, params = ckpt.load_pretrained(args.pretrained_model, params)
         print("Model Loaded.")
 
     flow_params = params["flow"] if args.mode == "flowposenet" else params
+
+    if args.task == "export_pth":
+        # Interop exit ramp: a checkpoint trained here loads into the
+        # reference's Model_flow with strict=True (reverse of .pth ingestion).
+        from unopticalflow_tpu.utils.torch_convert import export_torch_checkpoint
+
+        out = args.output_pth or os.path.join(
+            args.result_dir or ".", "exported_model.pth"
+        )
+        export_torch_checkpoint(out, flow_params, iteration=ckpt_iteration)
+        print(f"wrote reference-format checkpoint: {out}")
+        raise SystemExit(0)
+
     infer = jax.jit(lambda i1, i2: inference_flow(flow_params, model_cfg, i1, i2))
 
     if args.task == "kitti_flow":

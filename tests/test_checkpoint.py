@@ -48,6 +48,22 @@ def test_torch_pth_ingestion(state, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_torch_pth_export_roundtrip(state, tmp_path):
+    """export_torch_checkpoint writes a .pth that our own ingester round-trips.
+
+    The exported dict mirrors what the reference train loop saves
+    (/root/reference/train.py:23-24), so it is the reverse of ingestion.
+    """
+    from unopticalflow_tpu.utils.torch_convert import export_torch_checkpoint
+
+    path = str(tmp_path / "exported.pth")
+    export_torch_checkpoint(path, state.params, iteration=7)
+    it, params = ckpt.load_pretrained(path)
+    assert it == 7
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_unknown_keys_rejected():
     with pytest.raises(ValueError, match="unrecognized"):
         torch_state_dict_to_params({"bogus.layer.weight": np.zeros((1, 1, 3, 3))})

@@ -81,3 +81,21 @@ def params_to_torch_state_dict(params):
             out[f"{base}.weight"] = np.transpose(np.asarray(leaf["w"]), (3, 2, 0, 1))
             out[f"{base}.bias"] = np.asarray(leaf["b"])
     return out
+
+
+def export_torch_checkpoint(path, params, iteration=0):
+    """Write a reference-format ``.pth`` from this framework's param tree.
+
+    Produces the exact dict the reference's train loop saves
+    (/root/reference/train.py:23-24: ``{"iteration", "model_state_dict"}``)
+    so a checkpoint trained here loads into the reference's ``Model_flow``
+    with ``strict=True`` — the reverse of :func:`load_torch_checkpoint`.
+    """
+    import torch  # local import: torch only needed for .pth interop
+
+    state = {
+        # np.array copies: jax arrays expose read-only buffers torch warns on
+        k: torch.from_numpy(np.array(v, dtype=np.float32))
+        for k, v in params_to_torch_state_dict(params).items()
+    }
+    torch.save({"iteration": int(iteration), "model_state_dict": state}, path)
