@@ -30,11 +30,31 @@ padded by md).  Accumulation is fp32 in VMEM scratch.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# A/B knobs (defaults reflect on-chip measurements; see PROFILE_r03.md):
+#   UNFLOW_DIMSEM=1  — annotate the grid ("parallel","parallel").  Both grid
+#     dims index independent output blocks (batch, row-tile), so declaring
+#     them parallel lets Mosaic relax its sequential-grid pipeline ordering.
+#   UNFLOW_INFUSE=1  — allow XLA to fuse producers into kernel operands
+#     (e.g. the NHWC->NCHW boundary transpose / halo pad), trading the
+#     materialized relayout for in-fusion operand generation.
+_DIMSEM = os.environ.get("UNFLOW_DIMSEM", "0") == "1"
+_INFUSE = os.environ.get("UNFLOW_INFUSE", "0") == "1"
+
+
+def _cparams(n_inputs: int):
+    if not (_DIMSEM or _INFUSE):
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel") if _DIMSEM else None,
+        allow_input_fusion=[True] * n_inputs if _INFUSE else None,
+    )
 
 
 def _rows(a_ref, b_ref, dy: int, tile_h: int, axis: int):
@@ -153,6 +173,7 @@ def _corr_fwd_nchw(f1, f2, md):
             bytes_accessed=(3 * bsz * h * w * c + bsz * h * w * nd) * 4,
             transcendentals=0,
         ),
+        compiler_params=_cparams(3),
     )(f1, f2q, f2q)
 
 
@@ -173,6 +194,7 @@ def _corr_df1_nchw(g, f2, md):
         out_specs=_block(c, tile_h, w, 0),
         out_shape=jax.ShapeDtypeStruct((bsz, c, h, w), f2.dtype),
         scratch_shapes=[pltpu.VMEM((c, tile_h, w), jnp.float32)],
+        compiler_params=_cparams(3),
     )(g, f2q, f2q)
 
 
@@ -195,6 +217,7 @@ def _corr_df2_nchw(g, f1, md):
         out_specs=_block(c, tile_h, w, 0),
         out_shape=jax.ShapeDtypeStruct((bsz, c, h, w), f1.dtype),
         scratch_shapes=[pltpu.VMEM((c, tile_h, w), jnp.float32)],
+        compiler_params=_cparams(4),
     )(gq, gq, f1q, f1q)
 
 

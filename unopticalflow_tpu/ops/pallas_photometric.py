@@ -33,11 +33,26 @@ forward pools, 2 for the backward pool-of-cotangents) use the two-consecutive
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# A/B knobs shared with ops/pallas_kernels.py (see there for semantics)
+_DIMSEM = os.environ.get("UNFLOW_DIMSEM", "0") == "1"
+_INFUSE = os.environ.get("UNFLOW_INFUSE", "0") == "1"
+
+
+def _cparams(n_inputs: int):
+    if not (_DIMSEM or _INFUSE):
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel") if _DIMSEM else None,
+        allow_input_fusion=[True] * n_inputs if _INFUSE else None,
+    )
+
 
 _C1 = 0.01**2
 _C2 = 0.03**2
@@ -448,6 +463,7 @@ def _pp_run_fwd(four_b, four_f, flow_b, flow_f, img):
             jax.ShapeDtypeStruct((bsz, 2, h, w), img.dtype),
             jax.ShapeDtypeStruct((bsz, n_tiles, 8, 128), jnp.float32),
         ),
+        compiler_params=_cparams(6),
     )(ffq, ffq, flq, flq, imq, imq)
     tots = jnp.sum(sums[..., 0], axis=1)  # (B, 8)
     out = {
@@ -503,6 +519,7 @@ def _pp_bwd(res, g):
         out_specs=pl.BlockSpec((1, 4, tile_h, w), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, 4, h, w), jnp.float32),
+        compiler_params=_cparams(7),
     )(ffq, ffq, flq, flq, imq, imq, gpack)
     dflow = dflow.transpose(0, 2, 3, 1)  # (B, H, W, 4)
     d_flow_b = dflow[..., 0:2].astype(flow_b.dtype)
@@ -559,6 +576,7 @@ def _pp_run_fwd_cm(ffu, flow_b, flow_f, img):
             jax.ShapeDtypeStruct((bsz, 2, h, w), img.dtype),
             jax.ShapeDtypeStruct((bsz, n_tiles, 8, 128), jnp.float32),
         ),
+        compiler_params=_cparams(6),
     )(ffq, ffq, flq, flq, imq, imq)
     tots = jnp.sum(sums[..., 0], axis=1)  # (B, 8)
     return {
@@ -634,6 +652,7 @@ def _ppc_bwd(res, g):
         out_specs=pl.BlockSpec((1, 4, tile_h, w), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, 4, h, w), jnp.float32),
+        compiler_params=_cparams(7),
     )(ffq, ffq, flq, flq, imq, imq, gpack)
     dflow = dflow.transpose(0, 2, 3, 1)  # (B, H, W, 4)
     d_flow_b = dflow[..., 0:2].astype(flow_b.dtype)
