@@ -125,7 +125,7 @@ def evaluate(params, args, gen_kw, infer):
 
     h, w = args.hw
     erng = np.random.RandomState(12345)
-    epe_all, epe_noc, epe_fg, epe_bg, outlier = [], [], [], [], []
+    epe_all, epe_noc, epe_occ, epe_fg, epe_bg, outlier = [], [], [], [], [], []
     done = 0
     while done < args.eval_snippets:
         n = min(args.batch, args.eval_snippets - done)
@@ -139,6 +139,8 @@ def evaluate(params, args, gen_kw, infer):
         for i in range(n):
             epe_all.append(err[i].mean())
             epe_noc.append(err[i][noc[i]].mean())
+            if (~noc[i]).any():
+                epe_occ.append(err[i][~noc[i]].mean())
             if fg[i].any():
                 epe_fg.append(err[i][fg[i]].mean())
                 epe_bg.append(err[i][~fg[i]].mean())
@@ -150,6 +152,7 @@ def evaluate(params, args, gen_kw, infer):
     return {
         "epe_all": round(float(np.mean(epe_all)), 3),
         "epe_nonoccluded": round(float(np.mean(epe_noc)), 3),
+        "epe_occluded": round(float(np.mean(epe_occ)), 3) if epe_occ else None,
         "epe_fg": round(float(np.mean(epe_fg)), 3) if epe_fg else None,
         "epe_bg": round(float(np.mean(epe_bg)), 3) if epe_bg else None,
         "outlier_rate_kitti": round(float(np.mean(outlier)), 4),
@@ -178,6 +181,15 @@ def main():
                         "numpy generator otherwise bounds the step rate")
     p.add_argument("--fp32", action="store_true",
                    help="disable the production bf16+Pallas path")
+    p.add_argument("--no-occlusion-weights", action="store_true",
+                   help="ablation: replace the softmax diff-weight occlusion "
+                        "masks with the warp-validity mask alone (the "
+                        "paper's central mechanism OFF; forces the unfused "
+                        "XLA loss path)")
+    p.add_argument("--pool-file", default="",
+                   help="with --pool: cache the pregenerated pool to this "
+                        ".npy (reused across run pairs so ablations train on "
+                        "identical data)")
     p.add_argument("--save", default="",
                    help="checkpoint path to write at --eval-every points and "
                         "at the end (long runs become resumable)")
@@ -208,6 +220,7 @@ def main():
         loss_dtype=prec,
         use_pallas_corr=on_tpu(),
         use_pallas_photo=(prec == "bfloat16") and on_tpu(),
+        use_occlusion_weights=not args.no_occlusion_weights,
     )
     weights = {  # the KITTI recipe table (config/kitti.yaml)
         "loss_pixel": 0.15,
@@ -234,10 +247,25 @@ def main():
     rng = np.random.RandomState(0)
     gen_kw = dict(max_bg=args.max_bg, max_fg=args.max_fg)
     if args.pool:
-        print(f"pregenerating {args.pool}-snippet pool ...", flush=True)
-        stacked_pool = np.stack(
-            [make_snippet(rng, h, w, **gen_kw)[0] for _ in range(args.pool)]
-        ).astype(np.float16)
+        import os
+
+        if args.pool_file and os.path.exists(args.pool_file):
+            stacked_pool = np.load(args.pool_file, mmap_mode="r")
+            assert stacked_pool.shape == (args.pool, 3 * h, w, 3), (
+                f"pool file shape {stacked_pool.shape} != requested "
+                f"({args.pool}, {3 * h}, {w}, 3)"
+            )
+            stacked_pool = np.asarray(stacked_pool)  # materialize once
+            print(f"loaded {args.pool}-snippet pool from {args.pool_file}",
+                  flush=True)
+        else:
+            print(f"pregenerating {args.pool}-snippet pool ...", flush=True)
+            stacked_pool = np.stack(
+                [make_snippet(rng, h, w, **gen_kw)[0] for _ in range(args.pool)]
+            ).astype(np.float16)
+            if args.pool_file:
+                np.save(args.pool_file, stacked_pool)
+                print(f"saved pool to {args.pool_file}", flush=True)
 
         def next_batch():
             idx = rng.randint(0, args.pool, size=args.batch)
@@ -280,6 +308,7 @@ def main():
         "iters": args.iters,
         "hw": list(args.hw),
         "precision": prec,
+        "occlusion_weights": not args.no_occlusion_weights,
         "platform": jax.devices()[0].platform,
         **evaluate(state.params, args, gen_kw, infer),
         "train_seconds": round(time.time() - t0, 1),

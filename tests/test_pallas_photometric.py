@@ -184,21 +184,21 @@ def test_cm_flow_vjp_bit_equals_packed(interpret_pack):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
-def test_model_forward_cm_matches_packed(interpret_pack, monkeypatch):
+def test_model_forward_cm_matches_packed(interpret_pack):
     """Full fused forward with the channel-major loss-warp path equals the
     packed-gather path (models/flow_model.py fused branch, bf16 losses)."""
     from unopticalflow_tpu.models import FlowModelConfig, forward, init_flow_model
-    from unopticalflow_tpu.models import flow_model as fm
 
     params = init_flow_model(jax.random.PRNGKey(4))
     images = jnp.asarray(RNG.rand(1, 3 * 64, 64, 3).astype(np.float32))
     cfg = FlowModelConfig(
         num_scales=3, loss_dtype="bfloat16", use_pallas_photo=True
     )
-    assert fm._CM, "cm path must be the default"
+    assert cfg.channel_major_loss, "cm path must be the default"
     pack_cm = forward(params, cfg, images)
-    monkeypatch.setattr(fm, "_CM", False)
-    pack_packed = forward(params, cfg, images)
+    pack_packed = forward(
+        params, cfg._replace(channel_major_loss=False), images
+    )
     for k in pack_packed:
         np.testing.assert_allclose(
             np.asarray(pack_cm[k]), np.asarray(pack_packed[k]),

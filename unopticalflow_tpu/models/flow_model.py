@@ -15,16 +15,7 @@ training/train_step.py).
 
 from __future__ import annotations
 
-import os
-
 from typing import NamedTuple
-
-# temporary A/B: one 2B-packed loss gather per scale (re-test under the
-# flat-take formulation; the old negative result predates it)
-_PACK2B = os.environ.get("UNFLOW_PACK2B") == "1"
-# kill-switch A/B: channel-major loss-warp gathers + cm photometric kernels
-# (default on; see ops/warp.py::warp_corners_cm)
-_CM = os.environ.get("UNFLOW_CM", "1") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +44,8 @@ class FlowModelConfig(NamedTuple):
     # route the photometric loss stack (warp blend + occlusion weights +
     # SSIM + masked reductions) through the fused Pallas kernel
     # (ops/pallas_photometric.py); falls back to the XLA composition when
-    # the pyramid scales don't tile (H % 32 != 0)
+    # any loss-scale height doesn't tile the 8-sublane kernel rows
+    # ((H >> s) % 8 != 0 for some scale s < num_scales)
     use_pallas_photo: bool = False
     # route smoothness+consistency through ops/pallas_regularizer.py.
     # Off by default: measured ~2.5 ms/step SLOWER than XLA's own fusion of
@@ -66,6 +58,27 @@ class FlowModelConfig(NamedTuple):
     # per-channel error on pooled scales (see ops/warp.py::_gather_corners).
     # Off by default so f32 parity paths stay bit-exact vs the reference.
     quantize_loss_warps: bool = False
+    # channel-major loss-warp gathers + cm photometric kernels: skips the
+    # gather's row-major relayout loops and the NHWC<->NCHW kernel-boundary
+    # transposes (ops/warp.py::warp_corners_cm).  Measured faster on v5e at
+    # the KITTI recipe; only takes effect on the fused bf16 Pallas path.
+    channel_major_loss: bool = True
+    # A/B: one 2B-packed loss gather per scale instead of two B-sized
+    # dispatches.  Measured 26% SLOWER on v5e (see forward()) — kept as a
+    # validated option for other geometries.
+    pack2b_loss_gather: bool = False
+    # NCHW decoder warps feeding a channel-major corr kernel (no layout
+    # boundary).  Measured a small net regression on v5e at the KITTI recipe
+    # (71.6 vs 70.9 ms/step; see models/pwc_decoder.py) — validated option.
+    channel_major_decoder: bool = False
+    # ablation switch: when False, the softmax diff-weight occlusion masks
+    # (reference model_flow_paper.py:101-134) are replaced by the warp
+    # validity mask alone — every in-frame pixel weighs equally in the
+    # photometric losses.  Forces the unfused XLA loss path (the fused
+    # Pallas kernel hard-codes the weights).  benchmarks/synthetic_epe.py
+    # uses this to demonstrate the masks are what makes occluded scenes
+    # trainable (the paper's central claim).
+    use_occlusion_weights: bool = True
 
     @property
     def cdtype(self):
@@ -96,6 +109,7 @@ def _decode(params, cfg: FlowModelConfig, feats1, feats2, img_hw):
         img_hw,
         compute_dtype=cfg.cdtype,
         use_pallas_corr=cfg.use_pallas_corr,
+        channel_major=cfg.channel_major_decoder,
     )
 
 
@@ -172,8 +186,10 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
     flows_bwd = [f[:b] for f in flows[:ns]]
     flows_fwd = [f[b:] for f in flows[:ns]]
 
-    fused = cfg.use_pallas_photo and all(
-        (img_h >> s) % 8 == 0 for s in range(ns)
+    fused = (
+        cfg.use_pallas_photo
+        and cfg.use_occlusion_weights
+        and all((img_h >> s) % 8 == 0 for s in range(ns))
     )
     if fused:
         # fused Pallas photometric stack: ONE kernel per scale computes the
@@ -199,7 +215,12 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
             # KITTI recipe) — XLA's gather strategy degrades at the larger
             # operand geometry, so keep two B-sized dispatches
             q8 = cfg.quantize_loss_warps
-            cm = _CM and not q8 and not _PACK2B and ld == jnp.bfloat16
+            cm = (
+                cfg.channel_major_loss
+                and not q8
+                and not cfg.pack2b_loss_gather
+                and ld == jnp.bfloat16
+            )
             if cm:
                 # channel-major fetch + cm kernel: skips the gather's
                 # row-major relayout loops AND the 24-channel NHWC->NCHW
@@ -215,7 +236,7 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
                 out = photometric_pack_cm(
                     ffu, flows_bwd[s], flows_fwd[s], pyr_c[s]
                 )
-            elif _PACK2B:
+            elif cfg.pack2b_loss_gather:
                 four = warp_corners(
                     pyr_lr[s], flows[s], gather_u32=True, gather_u8=q8
                 )
@@ -270,7 +291,7 @@ def forward(params, cfg: FlowModelConfig, images, return_aux: bool = False):
             for i, f in zip(pyr_lr[:ns], flows[:ns])
         ]
         diffs, weights = losses.diff_and_occlusion_weights_packed(
-            warped_lr, pyr_c, ns
+            warped_lr, pyr_c, ns, use_weights=cfg.use_occlusion_weights
         )
         loss_pixel = losses.masked_diff_loss(diffs, weights, ns)
         loss_ssim = losses.masked_ssim_loss(pyr_cc, warped_lr, weights, ns)

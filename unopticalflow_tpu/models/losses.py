@@ -80,7 +80,9 @@ def diff_and_occlusion_weights(imgs_from_l, imgs, imgs_from_r, num_scales: int):
     return diff_bwd, diff_fwd, weight_bwd, weight_fwd
 
 
-def diff_and_occlusion_weights_packed(warped_lr, imgs, num_scales: int):
+def diff_and_occlusion_weights_packed(
+    warped_lr, imgs, num_scales: int, use_weights: bool = True
+):
     """Batch-packed variant of :func:`diff_and_occlusion_weights`.
 
     ``warped_lr[s]`` stacks the from-prev (bwd) and from-next (fwd) warped
@@ -89,6 +91,10 @@ def diff_and_occlusion_weights_packed(warped_lr, imgs, num_scales: int):
     per-scale (2B, H, W, 1) diffs and occlusion weights in the same packed
     order.  Identical per-sample math to the unpacked form
     (model_flow_paper.py:101-134); only the batching differs.
+
+    ``use_weights=False`` is the occlusion-ablation switch
+    (FlowModelConfig.use_occlusion_weights): the softmax diff-weights are
+    replaced by 1, leaving only the warp-validity mask.
     """
     diffs, weights = [], []
     for s in range(num_scales):
@@ -101,13 +107,16 @@ def diff_and_occlusion_weights_packed(warped_lr, imgs, num_scales: int):
             jnp.abs(jnp.concatenate([img, img], 0) - w2), axis=-1, keepdims=True
         )
 
-        w = 1.0 - jax.nn.softmax(
-            jnp.concatenate([diff[:b], diff[b:]], -1), axis=-1
-        )
-        w = jax.lax.stop_gradient(w)
-        w = 2.0 * jnp.exp(-jnp.square(w - 0.5) / 0.03)
-
-        weights.append(jnp.concatenate([w[..., 0:1], w[..., 1:2]], 0) * valid)
+        if use_weights:
+            w = 1.0 - jax.nn.softmax(
+                jnp.concatenate([diff[:b], diff[b:]], -1), axis=-1
+            )
+            w = jax.lax.stop_gradient(w)
+            w = 2.0 * jnp.exp(-jnp.square(w - 0.5) / 0.03)
+            w2dir = jnp.concatenate([w[..., 0:1], w[..., 1:2]], 0)
+            weights.append(w2dir * valid)
+        else:
+            weights.append(valid)
         diffs.append(diff)
     return diffs, weights
 

@@ -18,7 +18,6 @@ flat graph and can fuse warp/corr into the surrounding convs.
 
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -27,17 +26,6 @@ from unopticalflow_tpu.models.layers import conv_block, conv_apply, conv_init
 from unopticalflow_tpu.ops.cost_volume import cost_volume
 from unopticalflow_tpu.ops.resize import resize_bilinear, upsample2x_double
 from unopticalflow_tpu.ops.warp import bilinear_warp, bilinear_warp_nchw
-
-# NCHW decoder warps feeding the corr kernel without a layout boundary
-# (ops/warp.py::bilinear_warp_nchw + pallas_kernels.py::cost_volume_pallas_f2c).
-# OFF by default: measured a NET REGRESSION on v5e at the KITTI recipe
-# (71.6 vs 70.9 ms/step) — the channel-major table build for 4C=128-wide
-# feature rows is a transposed write whose cost exceeds the saved boundary
-# transposes, and the gather-relayout while-loops it was meant to kill turn
-# out to belong to the (already-optimal) cm loss-warp takes, not the decoder
-# takes.  Kept as a validated option (tests/test_pallas_kernels.py) for
-# future geometries.
-_CMDEC = os.environ.get("UNFLOW_CMDEC", "0") == "1"
 
 MAX_DISPLACEMENT = 4
 _ND = (2 * MAX_DISPLACEMENT + 1) ** 2  # 81 correlation channels
@@ -108,8 +96,19 @@ def apply_pwc_decoder(
     img_hw,
     compute_dtype=None,
     use_pallas_corr: bool = False,
+    channel_major: bool = False,
 ):
     """Decode flow from two feature pyramids.
+
+    ``channel_major``: NCHW decoder warps feeding the channel-major corr
+    kernel (ops/warp.py::bilinear_warp_nchw +
+    pallas_kernels.py::cost_volume_pallas_f2c) so warped features never
+    cross an NHWC<->NCHW boundary.  OFF by default: measured a NET
+    REGRESSION on v5e at the KITTI recipe (71.6 vs 70.9 ms/step) — the
+    channel-major table build for 4C=128-wide feature rows is a transposed
+    write whose cost exceeds the saved boundary transposes.  Kept as a
+    validated option (tests/test_pallas_kernels.py) for future geometries;
+    exposed as FlowModelConfig.channel_major_decoder.
 
     Args:
         feats1/feats2: 6-tuples from the feature encoder (finest first);
@@ -135,7 +134,7 @@ def apply_pwc_decoder(
             x4, flow = _estimate(params, lvl, corr, cd)
         else:
             up_flow = upsample2x_double(flow)
-            if use_pallas_corr and _CMDEC and f2.shape[1] % 8 == 0:
+            if use_pallas_corr and channel_major and f2.shape[1] % 8 == 0:
                 # NCHW warp -> NCHW-native corr kernel: the warped features
                 # never cross an NHWC<->NCHW boundary in either pass, and the
                 # channel-major take/scatter skips XLA's row-major relayouts

@@ -30,31 +30,15 @@ padded by md).  Accumulation is fp32 in VMEM scratch.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# A/B knobs (defaults reflect on-chip measurements; see PROFILE_r03.md):
-#   UNFLOW_DIMSEM=1  — annotate the grid ("parallel","parallel").  Both grid
-#     dims index independent output blocks (batch, row-tile), so declaring
-#     them parallel lets Mosaic relax its sequential-grid pipeline ordering.
-#   UNFLOW_INFUSE=1  — allow XLA to fuse producers into kernel operands
-#     (e.g. the NHWC->NCHW boundary transpose / halo pad), trading the
-#     materialized relayout for in-fusion operand generation.
-_DIMSEM = os.environ.get("UNFLOW_DIMSEM", "0") == "1"
-_INFUSE = os.environ.get("UNFLOW_INFUSE", "0") == "1"
-
-
-def _cparams(n_inputs: int):
-    if not (_DIMSEM or _INFUSE):
-        return None
-    return pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel") if _DIMSEM else None,
-        allow_input_fusion=[True] * n_inputs if _INFUSE else None,
-    )
+# A/B knobs (UNFLOW_DIMSEM / UNFLOW_INFUSE): see ops/_tuning.py and
+# benchmarks/PROFILE_r03.md for semantics + on-chip measurements.
+from unopticalflow_tpu.ops._tuning import cparams as _cparams
 
 
 def _rows(a_ref, b_ref, dy: int, tile_h: int, axis: int):

@@ -33,25 +33,14 @@ forward pools, 2 for the backward pool-of-cotangents) use the two-consecutive
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# A/B knobs shared with ops/pallas_kernels.py (see there for semantics)
-_DIMSEM = os.environ.get("UNFLOW_DIMSEM", "0") == "1"
-_INFUSE = os.environ.get("UNFLOW_INFUSE", "0") == "1"
-
-
-def _cparams(n_inputs: int):
-    if not (_DIMSEM or _INFUSE):
-        return None
-    return pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel") if _DIMSEM else None,
-        allow_input_fusion=[True] * n_inputs if _INFUSE else None,
-    )
+# A/B knobs (UNFLOW_DIMSEM / UNFLOW_INFUSE): see ops/_tuning.py
+from unopticalflow_tpu.ops._tuning import cparams as _cparams
 
 
 _C1 = 0.01**2
