@@ -71,6 +71,12 @@ class FlowModelConfig(NamedTuple):
     # boundary).  Measured a small net regression on v5e at the KITTI recipe
     # (71.6 vs 70.9 ms/step; see models/pwc_decoder.py) — validated option.
     channel_major_decoder: bool = False
+    # route correlations through the SPMD-partitionable variant
+    # (ops/pallas_spmd.py): H-sharded spatial parallelism then keeps the
+    # Pallas fast path (with ppermute halo exchanges over ICI) instead of
+    # falling back to the XLA correlation.  Set automatically by
+    # parallel/spatial.py; single-device runs leave it off.
+    pallas_corr_spmd: bool = False
     # ablation switch: when False, the softmax diff-weight occlusion masks
     # (reference model_flow_paper.py:101-134) are replaced by the warp
     # validity mask alone — every in-frame pixel weighs equally in the
@@ -110,6 +116,7 @@ def _decode(params, cfg: FlowModelConfig, feats1, feats2, img_hw):
         compute_dtype=cfg.cdtype,
         use_pallas_corr=cfg.use_pallas_corr,
         channel_major=cfg.channel_major_decoder,
+        spmd_corr=cfg.pallas_corr_spmd,
     )
 
 

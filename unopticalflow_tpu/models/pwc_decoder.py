@@ -97,8 +97,14 @@ def apply_pwc_decoder(
     compute_dtype=None,
     use_pallas_corr: bool = False,
     channel_major: bool = False,
+    spmd_corr: bool = False,
 ):
     """Decode flow from two feature pyramids.
+
+    ``spmd_corr``: route correlations through the SPMD-partitionable op
+    (ops/pallas_spmd.py) so H-sharded spatial parallelism keeps the Pallas
+    fast path.  Identical values; single-device runs should leave it off
+    (the plain op avoids the custom-partitioning custom-call wrapper).
 
     ``channel_major``: NCHW decoder warps feeding the channel-major corr
     kernel (ops/warp.py::bilinear_warp_nchw +
@@ -130,11 +136,14 @@ def apply_pwc_decoder(
         # NOTE: no activation on the cost volume — the reference defines a
         # LeakyReLU member but never applies it to corr (pwc_tf.py:21,112).
         if extra == 0:  # coarsest level: plain correlation
-            corr = cost_volume(f1, f2, MAX_DISPLACEMENT, use_pallas=use_pallas_corr)
+            corr = cost_volume(
+                f1, f2, MAX_DISPLACEMENT,
+                use_pallas=use_pallas_corr, spmd=spmd_corr,
+            )
             x4, flow = _estimate(params, lvl, corr, cd)
         else:
             up_flow = upsample2x_double(flow)
-            if use_pallas_corr and channel_major and f2.shape[1] % 8 == 0:
+            if use_pallas_corr and channel_major and not spmd_corr and f2.shape[1] % 8 == 0:
                 # NCHW warp -> NCHW-native corr kernel: the warped features
                 # never cross an NHWC<->NCHW boundary in either pass, and the
                 # channel-major take/scatter skips XLA's row-major relayouts
@@ -147,7 +156,8 @@ def apply_pwc_decoder(
             else:
                 warped = bilinear_warp(f2, up_flow, use_mask=False)
                 corr = cost_volume(
-                    f1, warped, MAX_DISPLACEMENT, use_pallas=use_pallas_corr
+                    f1, warped, MAX_DISPLACEMENT,
+                    use_pallas=use_pallas_corr, spmd=spmd_corr,
                 )
             inp = jnp.concatenate([corr, f1, up_flow], axis=-1)
             x4, res = _estimate(params, lvl, inp, cd)

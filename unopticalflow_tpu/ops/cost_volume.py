@@ -52,11 +52,24 @@ def cost_volume_xla(f1: jax.Array, f2: jax.Array, md: int = 4) -> jax.Array:
     return jnp.stack(planes, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("md", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("md", "use_pallas", "spmd"))
 def cost_volume(
-    f1: jax.Array, f2: jax.Array, md: int = 4, use_pallas: bool = False
+    f1: jax.Array,
+    f2: jax.Array,
+    md: int = 4,
+    use_pallas: bool = False,
+    spmd: bool = False,
 ) -> jax.Array:
-    """Cost volume with optional Pallas fast path (TPU only)."""
+    """Cost volume with optional Pallas fast path (TPU only).
+
+    ``spmd=True`` selects the variant whose fwd/bwd kernels carry H-axis
+    SPMD partitioning rules (ops/pallas_spmd.py) so spatial-parallel runs
+    keep the Pallas fast path; identical values either way.
+    """
+    if spmd:
+        from unopticalflow_tpu.ops.pallas_spmd import cost_volume_spmd
+
+        return cost_volume_spmd(f1, f2, md, use_pallas)
     if use_pallas:
         from unopticalflow_tpu.ops.pallas_kernels import cost_volume_pallas
 

@@ -128,6 +128,16 @@ def _halo_pad(x_nchw, md: int, tile_h: int, n_tiles: int):
     )
 
 
+def _halo_pad_pre(x_nchw, md: int, tile_h: int, n_tiles: int):
+    """Like :func:`_halo_pad` for an operand that ALREADY carries its md halo
+    rows on both H sides (the SPMD path exchanges real neighbor rows instead
+    of zero-padding, ops/pallas_spmd.py); pads only the tail + W."""
+    rows = (n_tiles + 1) * tile_h
+    return jnp.pad(
+        x_nchw, ((0, 0), (0, 0), (0, rows - x_nchw.shape[2]), (md, md))
+    )
+
+
 def _block(ch, tile_h, w, off):
     return pl.BlockSpec(
         (1, ch, tile_h, w),
@@ -136,12 +146,13 @@ def _block(ch, tile_h, w, off):
     )
 
 
-def _corr_fwd_nchw(f1, f2, md):
+def _corr_fwd_nchw(f1, f2, md, h_prepad: bool = False):
     bsz, c, h, w = f1.shape
     nd = (2 * md + 1) ** 2
     tile_h = _pick_tile_h(h, w, c, md)
     n_tiles = h // tile_h
-    f2q = _halo_pad(f2, md, tile_h, n_tiles)
+    pad = _halo_pad_pre if h_prepad else _halo_pad
+    f2q = pad(f2, md, tile_h, n_tiles)
     return pl.pallas_call(
         functools.partial(_corr_fwd_kernel, md=md, tile_h=tile_h, w=w),
         grid=(bsz, n_tiles),
@@ -161,12 +172,14 @@ def _corr_fwd_nchw(f1, f2, md):
     )(f1, f2q, f2q)
 
 
-def _corr_df1_nchw(g, f2, md):
-    bsz, c, h, w = f2.shape
+def _corr_df1_nchw(g, f2, md, h_prepad: bool = False):
+    bsz, c = f2.shape[0], f2.shape[1]
+    h, w = g.shape[2], g.shape[3]  # f2 may carry 2md extra halo rows
     nd = (2 * md + 1) ** 2
     tile_h = _pick_tile_h(h, w, c, md)
     n_tiles = h // tile_h
-    f2q = _halo_pad(f2, md, tile_h, n_tiles)
+    pad = _halo_pad_pre if h_prepad else _halo_pad
+    f2q = pad(f2, md, tile_h, n_tiles)
     return pl.pallas_call(
         functools.partial(_corr_df1_kernel, md=md, tile_h=tile_h, w=w),
         grid=(bsz, n_tiles),
@@ -182,13 +195,16 @@ def _corr_df1_nchw(g, f2, md):
     )(g, f2q, f2q)
 
 
-def _corr_df2_nchw(g, f1, md):
+def _corr_df2_nchw(g, f1, md, h_prepad: bool = False):
     bsz, c, h, w = f1.shape
+    if h_prepad:  # BOTH operands carry their 2md halo rows
+        h = h - 2 * md
     nd = (2 * md + 1) ** 2
     tile_h = _pick_tile_h(h, w, c + nd, md)
     n_tiles = h // tile_h
-    gq = _halo_pad(g, md, tile_h, n_tiles)
-    f1q = _halo_pad(f1, md, tile_h, n_tiles)
+    pad = _halo_pad_pre if h_prepad else _halo_pad
+    gq = pad(g, md, tile_h, n_tiles)
+    f1q = pad(f1, md, tile_h, n_tiles)
     return pl.pallas_call(
         functools.partial(_corr_df2_kernel, md=md, tile_h=tile_h, w=w),
         grid=(bsz, n_tiles),

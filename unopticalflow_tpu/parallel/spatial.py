@@ -17,10 +17,13 @@ Design notes (TPU-first):
     flow displacements are unbounded, which rules out a bounded-halo
     formulation in general.  These live at 1/64..1/4 resolution, so the
     all-gather volume is a few percent of a pyramid level's conv traffic.
-  * The Pallas cost-volume custom call has no SPMD partitioning rule, so
-    spatial mode uses the XLA correlation composition (``use_pallas_corr``
-    must be off); XLA partitions its shifted-window reductions like any
-    other fusion.  (The Pallas kernel remains the single-chip fast path.)
+  * The Pallas cost-volume kernels carry explicit SPMD partitioning rules
+    (ops/pallas_spmd.py, ``jax.experimental.custom_partitioning``): each
+    H-shard runs the same kernel on its rows after a ±4-row ppermute halo
+    exchange with its mesh neighbors, in the forward AND both backward
+    kernels — so spatial mode keeps the single-chip fast path.
+    ``make_spatial_infer`` flips ``FlowModelConfig.pallas_corr_spmd`` on
+    automatically when ``use_pallas_corr`` is set.
 
 A 2-D ``(data, spatial)`` mesh composes both axes: batch over ``data``,
 rows over ``spatial`` — see ``make_spatial_infer(batch_axis="data")`` and
@@ -53,8 +56,9 @@ def make_spatial_infer(cfg, mesh: Mesh, batch_axis: str | None = None):
     """Jit ``inference_flow`` with images (and flow) sharded over H.
 
     Args:
-        cfg: FlowModelConfig — must have ``use_pallas_corr=False`` (the
-            Pallas custom call has no SPMD partitioning rule).
+        cfg: FlowModelConfig.  With ``use_pallas_corr`` the correlations are
+            routed through the SPMD-partitionable kernels automatically
+            (``pallas_corr_spmd``; ops/pallas_spmd.py).
         mesh: mesh containing a ``spatial`` axis (see ``spatial_mesh``).
         batch_axis: optional mesh axis name to additionally shard the batch
             over (e.g. ``"data"`` for a 2-D dp x sp layout).
@@ -64,11 +68,8 @@ def make_spatial_infer(cfg, mesh: Mesh, batch_axis: str | None = None):
         H must be divisible by n_spatial * 64 (6 stride-2 encoder levels)
         so every pyramid level splits evenly across the spatial axis.
     """
-    if cfg.use_pallas_corr:
-        raise ValueError(
-            "spatial parallelism requires use_pallas_corr=False "
-            "(custom calls have no SPMD partitioning rule)"
-        )
+    if cfg.use_pallas_corr and not cfg.pallas_corr_spmd:
+        cfg = cfg._replace(pallas_corr_spmd=True)
     from unopticalflow_tpu.models import inference_flow
 
     img_spec = NamedSharding(mesh, P(batch_axis, "spatial", None, None))
