@@ -247,7 +247,10 @@ if __name__ == "__main__":
         raise ValueError(
             f"mode '{args.mode}' is not runnable: the reference's depth "
             "classes do not exist (its test.py:236-242 raises NameError) — "
-            "only --mode flow / flowposenet are supported."
+            "only --mode flow / flowposenet are supported.  To evaluate an "
+            "external depth model against the reference protocols, use "
+            "unopticalflow_tpu.evaluation.depth_harness "
+            "(test_eigen_depth / test_nyu / test_single_image)."
         )
 
     from unopticalflow_tpu.utils.platform import resolve_pallas
@@ -316,5 +319,7 @@ if __name__ == "__main__":
     else:
         raise ValueError(
             f"task '{args.task}' requires depth inference, which no model in "
-            "the reference repo implements (SURVEY.md §3.2)."
+            "the reference repo implements (SURVEY.md §3.2).  The working "
+            "eval harnesses for any external depth callable live in "
+            "unopticalflow_tpu.evaluation.depth_harness."
         )
