@@ -1,0 +1,143 @@
+"""Summarize synthetic-EPE training logs into one JSON + a learning curve.
+
+Inputs are the raw stdout logs of ``benchmarks/synthetic_epe.py`` runs
+(``--eval-every`` JSON lines interleaved with loss lines).  Emits:
+
+  * ``SYNTH_EPE_r04.json`` — per-run eval trajectories + final metrics +
+    the ablation deltas the round-3 verdict asked for (occlusion-mask
+    ablation, bf16-vs-f32 trajectory agreement),
+  * ``synth_epe_curve.png`` — EPE(all / occluded) and KITTI outlier rate
+    vs iteration for every run.
+
+Usage:
+  python benchmarks/synth_epe_summarize.py \
+      --run main=benchmarks/synth_epe_r04/main_bf16_pallas.log \
+      --run nomask=benchmarks/synth_epe_r04/nomask.log \
+      --run fp32=benchmarks/synth_epe_r04/fp32.log \
+      --out-dir benchmarks/synth_epe_r04
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+
+
+def parse_log(path: str):
+    """Return (eval_points, loss_points, final) from a synthetic_epe log."""
+    evals, losses, final = [], [], None
+    loss_re = re.compile(
+        r"iter (\d+): total ([\d.]+) pixel ([\d.]+) ssim ([\d.]+)"
+    )
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{"):
+                d = json.loads(line)
+                if "iter" in d:
+                    evals.append(d)
+                elif "benchmark" in d:
+                    final = d
+            else:
+                m = loss_re.match(line)
+                if m:
+                    losses.append(
+                        {"iter": int(m.group(1)), "total": float(m.group(2)),
+                         "pixel": float(m.group(3)), "ssim": float(m.group(4))}
+                    )
+    return evals, losses, final
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", action="append", required=True,
+                   help="name=logpath (repeatable)")
+    p.add_argument("--out-dir", default="benchmarks/synth_epe_r04")
+    args = p.parse_args()
+
+    runs = {}
+    for spec in args.run:
+        name, path = spec.split("=", 1)
+        evals, losses, final = parse_log(path)
+        runs[name] = {
+            "log": os.path.relpath(path),
+            "eval_points": evals,
+            "final": final,
+            "last_eval": evals[-1] if evals else None,
+            "mean_loss_last_1k": (
+                round(sum(d["total"] for d in losses[-4:]) / max(len(losses[-4:]), 1), 4)
+                if losses else None
+            ),
+        }
+
+    summary = {"benchmark": "synthetic occlusion-aware EPE campaign (r04)",
+               "runs": runs}
+
+    def at(name, key):
+        r = runs.get(name, {}).get("last_eval") or {}
+        return r.get(key)
+
+    if "main" in runs and "nomask" in runs:
+        # compare at the nomask run's last common eval iteration
+        it = runs["nomask"]["last_eval"]["iter"]
+        main_at = next((d for d in runs["main"]["eval_points"]
+                        if d["iter"] == it), runs["main"]["last_eval"])
+        summary["ablation_occlusion_masks"] = {
+            "compared_at_iter": it,
+            "epe_all_with_masks": main_at["epe_all"],
+            "epe_all_without_masks": at("nomask", "epe_all"),
+            "epe_occluded_with_masks": main_at["epe_occluded"],
+            "epe_occluded_without_masks": at("nomask", "epe_occluded"),
+        }
+    if "main" in runs and "fp32" in runs:
+        it = runs["fp32"]["last_eval"]["iter"]
+        main_at = next((d for d in runs["main"]["eval_points"]
+                        if d["iter"] == it), runs["main"]["last_eval"])
+        summary["bf16_vs_f32"] = {
+            "compared_at_iter": it,
+            "epe_all_bf16": main_at["epe_all"],
+            "epe_all_f32": at("fp32", "epe_all"),
+            "outlier_bf16": main_at["outlier_rate_kitti"],
+            "outlier_f32": at("fp32", "outlier_rate_kitti"),
+        }
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    out_json = os.path.join(args.out_dir, "SYNTH_EPE_r04.json")
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=1)
+    print("wrote", out_json)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    for name, r in runs.items():
+        ev = r["eval_points"]
+        if not ev:
+            continue
+        it = [d["iter"] for d in ev]
+        for ax, key, title in zip(
+            axes,
+            ["epe_all", "epe_occluded", "outlier_rate_kitti"],
+            ["EPE (all px)", "EPE (occluded px)", "KITTI outlier rate"],
+        ):
+            ax.plot(it, [d[key] for d in ev], marker="o", label=name)
+            ax.set_title(title)
+            ax.set_xlabel("iteration")
+            ax.grid(True, alpha=0.3)
+    axes[0].set_ylabel("px")
+    axes[0].legend()
+    fig.suptitle("synthetic occlusion-aware EPE: bf16+Pallas production "
+                 "recipe, occlusion-mask ablation, f32 pair")
+    fig.tight_layout()
+    out_png = os.path.join(args.out_dir, "synth_epe_curve.png")
+    fig.savefig(out_png, dpi=110)
+    print("wrote", out_png)
+
+
+if __name__ == "__main__":
+    main()

@@ -249,6 +249,10 @@ def main():
     if args.pool:
         import os
 
+        # uint8 pool: 8-bit quantization matches the real pipeline (prepared
+        # PNGs are 8-bit), and batches cross the (tunneled) host->device link
+        # at 1/4 the f32 bytes — measured 12 vs 53 ms per KITTI-shape batch —
+        # with the [0,1] cast fused on-device.
         if args.pool_file and os.path.exists(args.pool_file):
             stacked_pool = np.load(args.pool_file, mmap_mode="r")
             assert stacked_pool.shape == (args.pool, 3 * h, w, 3), (
@@ -260,16 +264,18 @@ def main():
                   flush=True)
         else:
             print(f"pregenerating {args.pool}-snippet pool ...", flush=True)
-            stacked_pool = np.stack(
-                [make_snippet(rng, h, w, **gen_kw)[0] for _ in range(args.pool)]
-            ).astype(np.float16)
+            stacked_pool = np.stack([
+                np.round(make_snippet(rng, h, w, **gen_kw)[0] * 255.0)
+                .astype(np.uint8)
+                for _ in range(args.pool)
+            ])
             if args.pool_file:
                 np.save(args.pool_file, stacked_pool)
                 print(f"saved pool to {args.pool_file}", flush=True)
 
         def next_batch():
             idx = rng.randint(0, args.pool, size=args.batch)
-            b = stacked_pool[idx].astype(np.float32)
+            b = stacked_pool[idx]
             flip = rng.rand(len(idx)) < 0.5  # mirrored motion = new snippet
             b[flip] = b[flip, :, ::-1]
             return b
@@ -287,9 +293,14 @@ def main():
 
             save_checkpoint(args.save, it, state.params, state.opt_state)
 
+    u8cast = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
+
+    def put(b):
+        return u8cast(jnp.asarray(b)) if b.dtype == np.uint8 else jnp.asarray(b)
+
     t0 = time.time()
     for it in range(it0, args.iters):
-        state, m = step(state, jnp.asarray(next_batch()))
+        state, m = step(state, put(next_batch()))
         if it % 250 == 0 or it == args.iters - 1:
             print(
                 f"iter {it}: total {float(m['loss_total']):.4f} "
@@ -297,7 +308,8 @@ def main():
                 f"ssim {float(m['loss_ssim']):.4f} ({time.time() - t0:.0f}s)",
                 flush=True,
             )
-        if args.eval_every and it and it % args.eval_every == 0:
+        if args.eval_every and it % args.eval_every == 0:
+            # includes iter 0: the untrained-EPE point anchors the curve
             mid = evaluate(state.params, args, gen_kw, infer)
             print(json.dumps({"iter": it, **mid}), flush=True)
             save(it)
