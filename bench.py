@@ -33,7 +33,8 @@ import numpy as np
 REFERENCE_TRAIN_SNIPPETS_PER_SEC = 20.0  # estimated; see module docstring
 
 
-def bench_train(batch, img_hw, iters, compute_dtype, use_pallas, quant_warps=False):
+def bench_train(batch, img_hw, iters, compute_dtype, use_pallas, quant_warps=False,
+                scan_steps=0):
     import jax
     import jax.numpy as jnp
 
@@ -58,6 +59,27 @@ def bench_train(batch, img_hw, iters, compute_dtype, use_pallas, quant_warps=Fal
     h, w = img_hw
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, 3 * h, w, 3).astype(np.float32))
+
+    if scan_steps:
+        # A/B probe: K train steps per host dispatch (lax.scan over K
+        # device-resident batches).  Quantifies what per-step dispatch
+        # still costs beyond the windowed-pipelined protocol below.
+        stacked = jnp.stack([images] * scan_steps)
+        inner_step = step
+
+        def multi(st, batches):
+            def body(s, b):
+                s2, m = inner_step(s, b)
+                return s2, m["loss_total"]
+            return jax.lax.scan(body, st, batches)
+
+        multi_j = jax.jit(multi, donate_argnums=(0,))
+
+        def step(st, imgs, _s=multi_j, _b=stacked):  # noqa: F811
+            st2, losses = _s(st, _b)
+            return st2, {"loss_total": losses[-1]}
+
+        step.precompile = lambda st, imgs: None
 
     # AOT-compile and dispatch the executable directly (the framework's
     # multi-host precompile hook): skips per-step jit dispatch overhead,
@@ -95,7 +117,9 @@ def bench_train(batch, img_hw, iters, compute_dtype, use_pallas, quant_warps=Fal
         for _ in range(k):
             state, metrics = step(state, images)
         _ = float(metrics["loss_total"])  # hard sync: async timing lies here
-        window_ms.append((time.perf_counter() - t0) * 1e3 / k)
+        window_ms.append(
+            (time.perf_counter() - t0) * 1e3 / (k * max(1, scan_steps))
+        )
     med = float(np.median(window_ms)) / 1e3
     spread = float(np.percentile(window_ms, 75) - np.percentile(window_ms, 25))
     diag = {"median_step_ms": round(med * 1e3, 2),
@@ -392,6 +416,10 @@ if __name__ == "__main__":
                    help="on-chip Pallas-vs-XLA fwd+grad closeness check "
                         "instead of the throughput bench")
     p.add_argument("--validate-out", default="benchmarks/PALLAS_VALIDATE.json")
+    p.add_argument("--scan-steps", type=int, default=0,
+                   help="A/B probe: run K train steps per host dispatch "
+                        "(lax.scan) to quantify residual per-step dispatch "
+                        "cost beyond the windowed protocol")
     args = p.parse_args()
 
     import jax
@@ -416,7 +444,7 @@ if __name__ == "__main__":
     else:
         value, _ = bench_train(
             args.batch, tuple(args.hw), args.iters, compute_dtype, use_pallas,
-            quant_warps=args.quant_warps,
+            quant_warps=args.quant_warps, scan_steps=args.scan_steps,
         )
 
     if args.infer:
@@ -427,12 +455,17 @@ if __name__ == "__main__":
             "vs_baseline": round(value / 35.0, 2),  # PWC-Net 35 fps on Titan X
         }
     else:
-        default_recipe = tuple(args.hw) == (256, 832) and args.batch == 8
+        default_recipe = (
+            tuple(args.hw) == (256, 832) and args.batch == 8
+            and not args.scan_steps
+        )
         metric = (
             "train snippets/sec/chip (KITTI recipe 256x832, batch 8)"
             if default_recipe
             else f"train snippets/sec/chip ({args.hw[0]}x{args.hw[1]}, batch {args.batch})"
         )
+        if args.scan_steps:
+            metric += f", {args.scan_steps} steps/dispatch"
         out = {
             "metric": metric,
             "value": round(value, 2),

@@ -326,3 +326,43 @@ def test_bilinear_warp_nchw_matches_nhwc():
                 np.asarray(x, np.float32), np.asarray(y, np.float32),
                 rtol=tol, atol=tol,
             )
+
+
+def test_warp_bf16_flow_coords_stay_f32():
+    """bf16 flow must not quantize sampling coordinates (ops/warp.py::_coords_f32).
+
+    Regression: coordinates were computed in flow.dtype, so under bf16 the
+    ulp of x = gx + flow_x near W=832 is 4 px and the fractional bilinear
+    weights collapse to 0 over most of the frame — photometric gradients
+    w.r.t. flow vanish and production-recipe training silently stalls
+    (round-4 synthetic-EPE campaign, benchmarks/synth_epe_r04/).
+    """
+    import jax
+
+    w = 832
+    # O(1)-amplitude pattern: adjacent-pixel differences survive bf16
+    # value quantization, isolating the *coordinate* precision under test
+    vals = np.sin(np.arange(w, dtype=np.float32) * 1.7)
+    img = np.tile(vals[None, None, :, None], (1, 8, 1, 1))
+    flow = np.zeros((1, 8, w, 2), dtype=np.float32)
+    flow[..., 0] = 0.5  # half-pixel shift: pure fractional sampling
+    out16 = bilinear_warp(
+        jnp.asarray(img, jnp.bfloat16), jnp.asarray(flow, jnp.bfloat16), False
+    )
+    # interior: value at x must be (img[x] + img[x+1]) / 2, including the
+    # right side of the frame (x in [512, 830): bf16 coord ulp there is
+    # 4.0 px — the buggy path returned img[x] exactly)
+    got = np.asarray(out16[0, 0, :-2, 0], np.float32)
+    want = (vals[:-2] + vals[1:-1]) / 2.0
+    np.testing.assert_allclose(got, want, atol=2e-2)
+    buggy = vals[:-2]  # what coordinate-quantized sampling returns
+    assert np.abs(got - buggy).max() > 0.3, "test not sensitive to the bug"
+
+    # gradient w.r.t. flow must not vanish on the right half of the frame
+    def loss(f):
+        warped = bilinear_warp(jnp.asarray(img, jnp.bfloat16), f, False)
+        return jnp.sum(warped.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(flow, jnp.bfloat16))
+    g_right = np.abs(np.asarray(g[0, :, w // 2 : -2, 0], np.float32))
+    assert (g_right > 0).mean() > 0.99, "flow gradient vanished on right half"

@@ -98,6 +98,25 @@ def _ghd_bwd(res, g):
 _gather_hw_diff.defvjp(_ghd_fwd, _ghd_bwd)
 
 
+def _coords_f32(flow, img_hw):
+    """Sampling positions (x, y) = grid + flow, ALWAYS in float32.
+
+    Coordinate math must not run in the flow dtype: under the production
+    bfloat16 recipe the ulp of x near W=832 is 4.0 px, so ``x - floor(x)``
+    collapses to 0 over most of the frame — bilinear weights degenerate and
+    the photometric gradient w.r.t. flow vanishes (this silently stalled
+    bf16 training at KITTI resolution while 64x128 runs still learned).
+    All corner indices/weights derive from these f32 positions; gathered
+    values stay in the image dtype.
+    """
+    h, w = img_hw
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x = gx + flow[..., 0].astype(jnp.float32)
+    y = gy + flow[..., 1].astype(jnp.float32)
+    return x, y
+
+
 def _corner_weights(img_hw, x, y):
     """Bilinear corner indices, weights and in-bounds masks at (x, y)."""
     h, w = img_hw
@@ -138,10 +157,7 @@ def warp_corners(
     the bilinear weights from ``flow`` itself.
     """
     b, h, w, c = img.shape
-    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    x = gx + flow[..., 0]
-    y = gy + flow[..., 1]
+    x, y = _coords_f32(flow, (h, w))
     corners = _corner_weights((h, w), x, y)
     return _gather_corners(
         img, corners, (h, w), gather_u32=gather_u32, gather_u8=gather_u8
@@ -151,19 +167,17 @@ def warp_corners(
 def blend_corners(four: jax.Array, flow: jax.Array, img_hw, use_mask=False):
     """Bilinear blend of warp_corners output (JAX reference composition)."""
     h, w = img_hw
-    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    x = gx + flow[..., 0]
-    y = gy + flow[..., 1]
+    x, y = _coords_f32(flow, (h, w))
     corners = _corner_weights((h, w), x, y)
     c = four.shape[-1] // 4
     out = 0.0
     for k, (_, _, wgt) in enumerate(corners):
-        out = out + four[..., k * c : (k + 1) * c] * wgt.astype(four.dtype)[..., None]
+        # blend in f32 (weights are f32 by _coords_f32); cast once at the end
+        out = out + four[..., k * c : (k + 1) * c].astype(jnp.float32) * wgt[..., None]
     if use_mask:
         total_w = corners[0][2] + corners[1][2] + corners[2][2] + corners[3][2]
-        out = out * (total_w >= 0.9999).astype(four.dtype)[..., None]
-    return out
+        out = out * (total_w >= 0.9999).astype(jnp.float32)[..., None]
+    return out.astype(four.dtype)
 
 
 def _gather_corners(img, corners, img_hw, gather_u32=False, gather_u8=False):
@@ -260,10 +274,7 @@ def warp_corners_cm(img: jax.Array, flow: jax.Array) -> jax.Array:
     """
     b, h, w, c = img.shape
     assert img.dtype == jnp.bfloat16, "cm corner fetch requires bf16 pairs"
-    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    x = gx + flow[..., 0]
-    y = gy + flow[..., 1]
+    x, y = _coords_f32(flow, (h, w))
     corners = _corner_weights((h, w), x, y)
 
     # Build the (2C, R) operand DIRECTLY as one fusion output.  An earlier
@@ -323,10 +334,7 @@ def bilinear_warp_nchw(img: jax.Array, flow: jax.Array) -> jax.Array:
       the df2 cotangent flows back in NCHW the same way.
     """
     b, h, w, c = img.shape
-    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    x = gx + flow[..., 0]
-    y = gy + flow[..., 1]
+    x, y = _coords_f32(flow, (h, w))
     corners = _corner_weights((h, w), x, y)
 
     pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -346,8 +354,9 @@ def bilinear_warp_nchw(img: jax.Array, flow: jax.Array) -> jax.Array:
 
     out = 0.0
     for k, (_, _, wgt) in enumerate(corners):
-        out = out + four[k * c : (k + 1) * c] * wgt.astype(img.dtype)[None]
-    return out.transpose(1, 0, 2, 3)  # (B, C, H, W)
+        # blend in f32 (weights are f32 by _coords_f32); cast once at the end
+        out = out + four[k * c : (k + 1) * c].astype(jnp.float32) * wgt[None]
+    return out.astype(img.dtype).transpose(1, 0, 2, 3)  # (B, C, H, W)
 
 
 def bilinear_warp(
@@ -368,10 +377,7 @@ def bilinear_warp(
         (B, H, W, C) warped image.
     """
     b, h, w, c = img.shape
-    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    x = gx + flow[..., 0]
-    y = gy + flow[..., 1]
+    x, y = _coords_f32(flow, (h, w))
 
     # TPU gathers are index-rate-bound (~10+ cycles per index), so the packed
     # form (1 gather of 4C-channel rows) beats 4 C-channel gathers at every
@@ -382,13 +388,14 @@ def bilinear_warp(
     )
     out = 0.0
     for k, (_, _, wgt) in enumerate(corners):
-        out = out + four[..., k * c : (k + 1) * c] * wgt.astype(img.dtype)[..., None]
+        # blend in f32 (weights are f32 by _coords_f32); cast once at the end
+        out = out + four[..., k * c : (k + 1) * c].astype(jnp.float32) * wgt[..., None]
 
     if use_mask:
         total_w = corners[0][2] + corners[1][2] + corners[2][2] + corners[3][2]
-        mask = (total_w >= 0.9999).astype(img.dtype)[..., None]
+        mask = (total_w >= 0.9999).astype(jnp.float32)[..., None]
         out = out * mask
-    return out
+    return out.astype(img.dtype)
 
 
 def warp_validity_mask(flow: jax.Array, img_hw) -> jax.Array:
@@ -404,10 +411,7 @@ def warp_validity_mask(flow: jax.Array, img_hw) -> jax.Array:
         (B, H, W, 1) float mask.
     """
     h, w = img_hw
-    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    x = gx + flow[..., 0]
-    y = gy + flow[..., 1]
+    x, y = _coords_f32(flow, (h, w))
     total_w = 0.0
     for _, _, wgt in _corner_weights((h, w), x, y):
         total_w = total_w + wgt
