@@ -181,6 +181,12 @@ def main():
                         "numpy generator otherwise bounds the step rate")
     p.add_argument("--fp32", action="store_true",
                    help="disable the production bf16+Pallas path")
+    p.add_argument("--no-pallas-corr", action="store_true",
+                   help="diagnostic: XLA cost volume instead of the Pallas "
+                        "corr kernel")
+    p.add_argument("--no-pallas-photo", action="store_true",
+                   help="diagnostic: unfused XLA photometric loss instead of "
+                        "the fused Pallas kernel")
     p.add_argument("--no-occlusion-weights", action="store_true",
                    help="ablation: replace the softmax diff-weight occlusion "
                         "masks with the warp-validity mask alone (the "
@@ -218,8 +224,10 @@ def main():
         num_scales=3,
         compute_dtype=prec,
         loss_dtype=prec,
-        use_pallas_corr=on_tpu(),
-        use_pallas_photo=(prec == "bfloat16") and on_tpu(),
+        use_pallas_corr=on_tpu() and not args.no_pallas_corr,
+        use_pallas_photo=(
+            (prec == "bfloat16") and on_tpu() and not args.no_pallas_photo
+        ),
         use_occlusion_weights=not args.no_occlusion_weights,
     )
     weights = {  # the KITTI recipe table (config/kitti.yaml)

@@ -74,6 +74,12 @@ def build_arg_parser():
                    choices=["auto", "on", "off"],
                    help="Pallas cost-volume kernels: auto = on for TPU "
                         "platforms, off elsewhere.")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="K optimizer steps per host dispatch (lax.scan over "
+                        "K stacked batches): amortizes the per-step host/"
+                        "dispatch gap on tunneled or dispatch-bound hosts. "
+                        "Per-step math is identical to K single dispatches; "
+                        "log/save/test intervals must be multiples of K.")
     p.add_argument("--cache_decoded", action="store_true",
                    help="cache decoded+resized frames as uint8 .npy under the "
                         "prepared dir (feeds the chip faster on few-core hosts).")
@@ -106,6 +112,7 @@ def train(cfg):
         TrainState,
         create_train_state,
         loss_weights_from_config,
+        make_multi_train_step,
         make_train_step,
     )
     from unopticalflow_tpu.utils import checkpoint as ckpt
@@ -261,11 +268,39 @@ def train(cfg):
                 f"data-parallel mesh over {mesh.devices.size} devices "
                 f"({jax.process_count()} processes)"
             )
-    step_fn = make_train_step(
-        model_cfg, loss_weights, lr=cfg.lr, mesh=mesh, mode=cfg.mode,
-        snippet_frames=getattr(dataset, "num_frames", 3),
-        freeze_flow=freeze_flow,
-    )
+    spd = int(cfg.get("steps_per_dispatch", 1) or 1)
+    if spd > 1:
+        # The scan body is the single-step body, so the K-step program's
+        # parameter trajectory is identical to K single dispatches — the grid
+        # constraints below are bookkeeping, not math (intervals/logging only
+        # ever observe dispatch boundaries).
+        for nm in ("log_interval", "save_interval", "test_interval"):
+            iv = int(getattr(cfg, nm))
+            if iv % spd:
+                raise ValueError(
+                    f"--{nm}={iv} must be a multiple of "
+                    f"--steps_per_dispatch={spd}"
+                )
+        if (cfg.num_iterations - cfg.iter_start) % spd:
+            raise ValueError(
+                f"num_iterations - iter_start = "
+                f"{cfg.num_iterations - cfg.iter_start} must be a multiple "
+                f"of --steps_per_dispatch={spd}"
+            )
+        if batch_sharding is not None:
+            batch_sharding = NamedSharding(mesh, P(None, "data"))
+        step_fn = make_multi_train_step(
+            model_cfg, loss_weights, steps_per_dispatch=spd, lr=cfg.lr,
+            mesh=mesh, mode=cfg.mode,
+            snippet_frames=getattr(dataset, "num_frames", 3),
+            freeze_flow=freeze_flow,
+        )
+    else:
+        step_fn = make_train_step(
+            model_cfg, loss_weights, lr=cfg.lr, mesh=mesh, mode=cfg.mode,
+            snippet_frames=getattr(dataset, "num_frames", 3),
+            freeze_flow=freeze_flow,
+        )
 
     # compiled once; evals pass the current params explicitly.  In the joint
     # flow+pose mode the flow branch lives under the "flow" subtree.
@@ -344,7 +379,49 @@ def train(cfg):
 
     if is_main:
         print(f"starting iteration: {cfg.iter_start}.")
-    stream = device_prefetch(iter(loader), sharding=batch_sharding)
+    def _stack_host_stream(iterator, k):
+        """Group k consecutive host batches into one (k, B, ...) stack.
+
+        Stacking happens on the host numpy side so the (single) H2D copy of
+        the whole stack overlaps compute via device_prefetch, same as plain
+        batches.  A trailing partial group cannot occur: the loader yields
+        exactly ``num_iterations - iter_start`` batches and divisibility by
+        k is enforced above.
+        """
+        import itertools as _it
+
+        while True:
+            group = list(_it.islice(iterator, k))
+            if len(group) < k:
+                return
+            if isinstance(group[0], tuple):
+                yield tuple(np.stack(parts) for parts in zip(*group))
+            else:
+                yield np.stack(group)
+
+    def _model_inputs(inputs):
+        """Loader tuple -> step_fn batch (NYU carries per-scale intrinsics).
+
+        NYU returns (img, K_ms, K_inv_ms); the pose branch needs the scale-0
+        intrinsics, plain flow mode only the images.  (The reference crashed
+        here — `inputs.cuda()` on a tuple; the 2-frame flow path is an
+        extension, models/flow_model.py::forward_pair.)  With K-stacked
+        batches the scale axis sits one deeper.
+        """
+        if cfg.dataset != "nyuv2":
+            return inputs
+        imgs, k_ms, k_inv_ms = inputs
+        if cfg.mode != "flowposenet":
+            return imgs
+        sl = (slice(None), slice(None), 0) if spd > 1 else (slice(None), 0)
+        return (imgs, k_ms[sl], k_inv_ms[sl])
+
+    host_stream = iter(loader)
+    if spd > 1:
+        host_stream = _stack_host_stream(host_stream, spd)
+    stream = device_prefetch(
+        host_stream, sharding=batch_sharding, batch_axis=1 if spd > 1 else 0
+    )
 
     if jax.process_count() > 1:
         # Compile-skew hygiene: each process AOT-compiles the step at its own
@@ -363,14 +440,7 @@ def train(cfg):
         except StopIteration:
             first = None
         if first is not None:
-            peek = first
-            if cfg.dataset == "nyuv2":
-                imgs, k_ms, k_inv_ms = first
-                peek = (
-                    (imgs, k_ms[:, 0], k_inv_ms[:, 0])
-                    if cfg.mode == "flowposenet" else imgs
-                )
-            step_fn.precompile(state, peek)
+            step_fn.precompile(state, _model_inputs(first))
             stream = itertools.chain([first], stream)
         client = _dist.global_state.client
         if client is not None:
@@ -394,10 +464,16 @@ def train(cfg):
 
     _loop_exc = None
     try:
-        for iter_, inputs in enumerate(stream):
+        for dispatch_, inputs in enumerate(stream):
+            # iter_ is the FIRST sub-step of this dispatch (== the iteration
+            # itself when steps_per_dispatch is 1); the dispatch covers
+            # iterations [iter_, iter_ + spd).  All interval grids are
+            # multiples of spd (enforced above), so the K=1 conditions
+            # generalize by testing the dispatch's LAST sub-step.
+            iter_ = dispatch_ * spd
             # check BEFORE the (multi-minute) interleaved eval as well as after
             # the step: a grace window must not be spent evaluating
-            will_eval = (iter_ + 1) % cfg.test_interval == 0 and (not cfg.no_test)
+            will_eval = (iter_ + spd) % cfg.test_interval == 0 and (not cfg.no_test)
             if _preempt_agreed(iter_ % _PREEMPT_CHECK_EVERY == 0 or will_eval):
                 _preempt_exit()
                 break
@@ -438,18 +514,11 @@ def train(cfg):
                     )
 
             iter_ = iter_ + cfg.iter_start
-            if cfg.dataset == "nyuv2":
-                # NYU returns (img, K_ms, K_inv_ms); the pose branch needs the
-                # scale-0 intrinsics, plain flow mode only the images.  (The
-                # reference crashed here — `inputs.cuda()` on a tuple; the
-                # 2-frame flow path is an extension, models/flow_model.py::
-                # forward_pair.)
-                imgs, k_ms, k_inv_ms = inputs
-                inputs = (
-                    (imgs, k_ms[:, 0], k_inv_ms[:, 0])
-                    if cfg.mode == "flowposenet" else imgs
-                )
-            state, metrics = step_fn(state, inputs)
+            state, metrics = step_fn(state, _model_inputs(inputs))
+            if spd > 1:
+                # metrics come back stacked (spd,); log the LAST sub-step —
+                # the same grid point a K=1 run would print at this iteration
+                metrics = jax.tree.map(lambda x: x[-1], metrics)
             if is_main and iter_ % cfg.log_interval == 0:
                 # throughput observability: print_loss fetches the metrics
                 # (a device sync), so timing between log points is free —
@@ -464,10 +533,10 @@ def train(cfg):
                     )
                 _log_t["t"], _log_t["iter"] = now, iter_
                 visualizer.print_loss(pack, iter_=iter_)
-            _last_step["iter"] = iter_
-            if is_main and (iter_ + 1) % cfg.save_interval == 0:
-                save(iter_)
-            if _preempt_agreed((iter_ + 1) % _PREEMPT_CHECK_EVERY == 0):
+            _last_step["iter"] = iter_ + spd - 1
+            if is_main and (iter_ + spd) % cfg.save_interval == 0:
+                save(iter_ + spd - 1)
+            if _preempt_agreed((iter_ + spd) % _PREEMPT_CHECK_EVERY == 0):
                 _preempt_exit()
                 break
         # final save: the reference only checkpoints on the save_interval grid

@@ -127,7 +127,7 @@ class BatchLoader:
             stop.set()
 
 
-def device_prefetch(iterator, sharding=None, depth: int = 2):
+def device_prefetch(iterator, sharding=None, depth: int = 2, batch_axis: int = 0):
     """Keep ``depth`` batches in flight to the device.
 
     With a ``NamedSharding`` the batch lands pre-sharded over the mesh's data
@@ -139,6 +139,9 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     assembled into the global jax.Array via
     ``jax.make_array_from_process_local_data`` — each process feeds only its
     own devices; no cross-host data movement happens on the batch path.
+    ``batch_axis`` names the data-sharded axis the local blocks concatenate
+    along — 0 for plain (B, ...) batches, 1 for the K-stacked (K, B, ...)
+    batches of ``--steps_per_dispatch`` (the scan axis K stays replicated).
     """
     import collections
 
@@ -151,9 +154,10 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
                 scale = jax.process_count()
 
                 def mk(x):
-                    gshape = (x.shape[0] * scale,) + x.shape[1:]
+                    gshape = list(x.shape)
+                    gshape[batch_axis] *= scale
                     return jax.make_array_from_process_local_data(
-                        sharding, np.ascontiguousarray(x), gshape
+                        sharding, np.ascontiguousarray(x), tuple(gshape)
                     )
 
                 return jax.tree_util.tree_map(mk, batch)

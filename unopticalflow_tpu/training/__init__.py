@@ -4,6 +4,7 @@ from unopticalflow_tpu.training.train_step import (
     TrainState,
     create_train_state,
     loss_weights_from_config,
+    make_multi_train_step,
     make_train_step,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "loss_weights_from_config",
+    "make_multi_train_step",
     "make_train_step",
 ]

@@ -101,6 +101,26 @@ def _loss_fn(params, model_cfg: FlowModelConfig, weights, batch, mode, snippet_f
     return total, {k: jnp.mean(v) for k, v in pack.items()}
 
 
+def _build_step_body(model_cfg, weights, opt, mesh, mode, snippet_frames):
+    """One optimizer step: fwd + weighted loss + bwd + Adam (+ DP pmean)."""
+
+    def step_body(state: TrainState, *batch):
+        (loss, pack), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            state.params, model_cfg, weights, batch, mode, snippet_frames
+        )
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, axis_name="data")
+            loss = jax.lax.pmean(loss, axis_name="data")
+            pack = jax.lax.pmean(pack, axis_name="data")
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        metrics = dict(pack, loss_total=loss)
+        return new_state, metrics
+
+    return step_body
+
+
 def make_train_step(
     model_cfg: FlowModelConfig,
     weights: dict[str, float],
@@ -120,48 +140,11 @@ def make_train_step(
     divide evenly.
     """
     opt = make_optimizer(lr, freeze_flow)
-
-    def step_body(state: TrainState, *batch):
-        (loss, pack), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            state.params, model_cfg, weights, batch, mode, snippet_frames
-        )
-        if mesh is not None:
-            grads = jax.lax.pmean(grads, axis_name="data")
-            loss = jax.lax.pmean(loss, axis_name="data")
-            pack = jax.lax.pmean(pack, axis_name="data")
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(state.step + 1, params, opt_state)
-        metrics = dict(pack, loss_total=loss)
-        return new_state, metrics
+    step_body = _build_step_body(model_cfg, weights, opt, mesh, mode, snippet_frames)
 
     n_batch_args = 3 if mode == "flowposenet" else 1
 
-    def _attach_precompile(step_fn, jitted):
-        """AOT-compile support (multi-host compile-skew hygiene).
-
-        ``step_fn.precompile(state, batch)`` compiles the step ahead of time
-        and caches the executable so the first real step dispatches it
-        directly.  Multi-host training compiles on every process at its own
-        pace; without this, a slow process reaches the first gradient
-        all-reduce minutes after a fast one and trips the CPU/DCN collective
-        rendezvous timeout (Gloo's is a hard 30 s).  train.py pairs this with
-        a coordination-service barrier.
-        """
-        cell = {}
-
-        def precompile(state, batch):
-            batch = batch if isinstance(batch, tuple) else (batch,)
-            cell["compiled"] = jitted.lower(state, *batch).compile()
-
-        def run(state, *batch):
-            compiled = cell.get("compiled")
-            return compiled(state, *batch) if compiled is not None else jitted(
-                state, *batch
-            )
-
-        step_fn.precompile = precompile
-        return run
+    _attach_precompile = _attach_aot
 
     if mesh is None:
         jitted = jax.jit(step_body, donate_argnums=(0,))
@@ -203,3 +186,112 @@ def make_train_step(
 
     _run = _attach_precompile(step_fn, step)
     return step_fn
+
+
+def make_multi_train_step(
+    model_cfg: FlowModelConfig,
+    weights: dict[str, float],
+    steps_per_dispatch: int,
+    lr: float = 1e-4,
+    mesh: Mesh | None = None,
+    mode: str = "flow",
+    snippet_frames: int = 3,
+    freeze_flow: bool = False,
+):
+    """K optimizer steps per host dispatch: ``lax.scan`` over stacked batches.
+
+    The single-step program is already one donated executable, but each
+    dispatch still pays the host round trip (tunneled runtimes measure this
+    at a few ms/step — see benchmarks/PROFILE_r03.md "host gap").  Scanning
+    K steps inside one program amortizes that cost to 1/K while keeping the
+    exact same per-step math: the scan body IS the single-step body, so the
+    parameter trajectory is identical to K sequential dispatches.
+
+    Returns ``step_fn(state, batch) -> (state, metrics)`` where every batch
+    leaf carries a leading (K, ...) axis — (K, B, 3H, W, 3) in flow mode —
+    and every metrics leaf comes back stacked (K,), so callers can still log
+    any sub-step.  With a mesh, batches are sharded over ``data`` on axis 1
+    (the per-step batch axis); K stays a leading scan axis on every device.
+
+    The reference has no analog (its loop is one ``optimizer.step()`` per
+    Python iteration, /root/reference/train.py:120-155); this is TPU-native
+    dispatch hygiene, same trick as flax's multi-step trainers.
+    """
+    if steps_per_dispatch < 1:
+        raise ValueError(f"steps_per_dispatch must be >= 1, got {steps_per_dispatch}")
+    opt = make_optimizer(lr, freeze_flow)
+    step_body = _build_step_body(model_cfg, weights, opt, mesh, mode, snippet_frames)
+
+    def multi_body(state: TrainState, *batch):
+        def body(s, b):
+            return step_body(s, *b)
+
+        return jax.lax.scan(body, state, batch)
+
+    n_batch_args = 3 if mode == "flowposenet" else 1
+
+    if mesh is None:
+        jitted = jax.jit(multi_body, donate_argnums=(0,))
+
+        def step_fn(state, batch):
+            batch = batch if isinstance(batch, tuple) else (batch,)
+            return _run(state, *batch)
+
+        _run = _attach_aot(step_fn, jitted)
+        return step_fn
+
+    from jax import shard_map
+
+    repl = P()
+    scan_data = P(None, "data")  # (K, B, ...): shard the per-step batch axis
+    sharded = shard_map(
+        multi_body,
+        mesh=mesh,
+        in_specs=(repl,) + (scan_data,) * n_batch_args,
+        out_specs=(repl, repl),
+    )
+    state_sh = NamedSharding(mesh, repl)
+    batch_sh = NamedSharding(mesh, scan_data)
+    step = jax.jit(
+        sharded,
+        in_shardings=(state_sh,) + (batch_sh,) * n_batch_args,
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,),
+    )
+
+    def step_fn(state, batch):
+        batch = batch if isinstance(batch, tuple) else (batch,)
+        assert batch[0].shape[1] % mesh.devices.size == 0, (
+            f"global batch {batch[0].shape[1]} must divide the "
+            f"{mesh.devices.size}-device data mesh"
+        )
+        return _run(state, *batch)
+
+    _run = _attach_aot(step_fn, step)
+    return step_fn
+
+
+def _attach_aot(step_fn, jitted):
+    """AOT-compile support (multi-host compile-skew hygiene).
+
+    ``step_fn.precompile(state, batch)`` compiles the step ahead of time and
+    caches the executable so the first real step dispatches it directly.
+    Multi-host training compiles on every process at its own pace; without
+    this, a slow process reaches the first gradient all-reduce minutes after
+    a fast one and trips the CPU/DCN collective rendezvous timeout (Gloo's is
+    a hard 30 s).  train.py pairs this with a coordination-service barrier.
+    """
+    cell = {}
+
+    def precompile(state, batch):
+        batch = batch if isinstance(batch, tuple) else (batch,)
+        cell["compiled"] = jitted.lower(state, *batch).compile()
+
+    def run(state, *batch):
+        compiled = cell.get("compiled")
+        return compiled(state, *batch) if compiled is not None else jitted(
+            state, *batch
+        )
+
+    step_fn.precompile = precompile
+    return run
