@@ -99,10 +99,11 @@ def main():
         build_prepared_dir(args.dir, args.snippets)
 
     n_samples = (args.batches + 4) * args.batch  # len(ds) = num_iterations
-    mk = lambda cache: KITTI_Prepared(  # noqa: E731
+    mk = lambda cache, u8=False: KITTI_Prepared(  # noqa: E731
         args.dir, img_hw=(256, 832), num_iterations=n_samples,
         cache_dir=os.path.join(args.dir, "decoded_cache_256x832")
         if cache else None,
+        emit_uint8=u8,
     )
 
     res = {
@@ -126,8 +127,17 @@ def main():
     res["cached_w4_snippets_per_s"] = round(
         measure(mk(True), args.batch, 4, args.batches), 1
     )
+    # uint8 emission (train.py default): the /255 f32 cast runs on device
+    # (train_step._loss_fn), so the host touches 4x fewer bytes per batch
+    res["cached_w4_uint8_snippets_per_s"] = round(
+        measure(mk(True, u8=True), args.batch, 4, args.batches), 1
+    )
     res["device_rate_snippets_per_s"] = args.device_rate
-    best = max(res["decode_w4_snippets_per_s"], res["cached_w4_snippets_per_s"])
+    best = max(
+        res["decode_w4_snippets_per_s"],
+        res["cached_w4_snippets_per_s"],
+        res["cached_w4_uint8_snippets_per_s"],
+    )
     res["sustains_device_rate"] = bool(best >= args.device_rate)
     res["recipe_note"] = (
         "--cache_decoded required on few-core hosts"

@@ -240,3 +240,54 @@ def test_kitti_raw_prepare_with_vendored_eigen_lists(tmp_path, monkeypatch):
     ds = KITTI_Prepared(str(out), img_hw=(16, 32), num_iterations=None)
     assert len(ds) == n_frames - 2
     assert ds[0].shape == (3 * 16, 32, 3)
+
+
+def test_emit_uint8_matches_float_path(prepared_dir):
+    """emit_uint8 returns the SAME sample as the f32 path, deferring only
+    the /255 cast (sources are 8-bit; cv2.resize preserves uint8)."""
+    ds_f = KITTI_Prepared(prepared_dir, img_hw=(16, 32), num_iterations=20)
+    ds_u = KITTI_Prepared(
+        prepared_dir, img_hw=(16, 32), num_iterations=20, emit_uint8=True
+    )
+    for idx in (0, 3, 7):
+        f = ds_f[idx]
+        u = ds_u[idx]
+        assert u.dtype == np.uint8
+        np.testing.assert_array_equal(u.astype(np.float32) / 255.0, f)
+
+
+def test_emit_uint8_device_cast_in_step():
+    """A uint8 batch through the jitted step equals the f32 batch to 1 ULP
+    (the cast happens on device before any model math; the extra /255 op
+    shifts fusion boundaries, reassociating reduction epilogues)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unopticalflow_tpu.models import FlowModelConfig, init_flow_model
+    from unopticalflow_tpu.training import create_train_state, make_train_step
+
+    cfg = FlowModelConfig(num_scales=2, use_pallas_corr=False)
+    weights = {"loss_pixel": 0.15, "loss_ssim": 0.85,
+               "loss_flow_smooth": 10.0, "loss_flow_consis": 0.01}
+    params = init_flow_model(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, 3 * 64, 64, 3), dtype=np.uint8)
+
+    step = make_train_step(cfg, weights, lr=1e-4)
+    s1, m1 = step(create_train_state(jax.tree.map(jnp.copy, params)),
+                  jnp.asarray(u8))
+    step2 = make_train_step(cfg, weights, lr=1e-4)
+    s2, m2 = step2(create_train_state(params),
+                   jnp.asarray(u8.astype(np.float32) / 255.0))
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m2[k]), rtol=1e-6, atol=1e-7
+        )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        # fresh-state Adam moves weights by ~+-lr with the SIGN of the
+        # gradient, so 1-ULP gradient reassociation can flip isolated
+        # near-zero-gradient elements by up to ~lr (1e-4); a real dtype bug
+        # would diverge at O(weight scale)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2.5e-4
+        )

@@ -225,11 +225,13 @@ def train(cfg):
             data_dir, num_scales=cfg.num_scales, img_hw=cfg.img_hw,
             num_iterations=n_samples, cache_dir=cache_dir,
             return_intrinsics=(cfg.mode == "flowposenet"),
+            emit_uint8=True,  # /255 cast fused on-device (train_step._loss_fn)
         )
     elif cfg.dataset == "sintel_raw":
         dataset = SINTEL_Prepared(
             data_dir, num_scales=cfg.num_scales, img_hw=cfg.img_hw,
             num_iterations=n_samples, cache_dir=cache_dir,
+            emit_uint8=True,
         )
     elif cfg.dataset == "nyuv2":
         dataset = NYU_v2(

@@ -65,12 +65,20 @@ class StackedFrameDataset:
         num_iterations=None,
         cache_dir=None,
         return_intrinsics=False,
+        emit_uint8=False,
     ):
         self.data_dir = data_dir
         self.num_scales = num_scales
         self.img_hw = tuple(img_hw)
         self.num_iterations = num_iterations
         self.cache_dir = cache_dir
+        # emit_uint8: __getitem__ returns the decoded+resized (and flipped)
+        # stack as uint8, deferring the /255 float cast to the device (the
+        # train step casts dtype-gated, train_step.py::_loss_fn).  Bit-for-bit
+        # the same values — sources are 8-bit PNGs and cv2.resize preserves
+        # uint8 — but the host touches and ships 4x fewer bytes per batch:
+        # measured 111.8 -> see benchmarks/LOADER_BENCH_r04.json.
+        self.emit_uint8 = emit_uint8
         # flowposenet mode: __getitem__ returns (img, K, K_inv) at network
         # resolution.  Horizontal-flip augmentation is disabled in this mode —
         # a flip mirrors the principal point and negates flow-u, which would
@@ -217,10 +225,13 @@ class StackedFrameDataset:
             idx, rng = self.rand_num(idx)
         raw = self._resized_uint8(idx)
         if self.return_intrinsics:  # no flip: it would falsify the geometry
-            img = np.ascontiguousarray(raw, dtype=np.float32) / 255.0
             K, K_inv = self.sample_intrinsics(idx)
-            return img, K, K_inv
+            if self.emit_uint8:
+                return np.ascontiguousarray(raw, dtype=np.uint8), K, K_inv
+            return np.ascontiguousarray(raw, dtype=np.float32) / 255.0, K, K_inv
         img = _maybe_flip(raw, rng or np.random)
+        if self.emit_uint8:
+            return np.ascontiguousarray(img, dtype=np.uint8)
         return np.ascontiguousarray(img, dtype=np.float32) / 255.0
 
 

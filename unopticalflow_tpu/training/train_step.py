@@ -92,6 +92,14 @@ def create_train_state(params, lr: float = 1e-4, freeze_flow: bool = False) -> T
 
 
 def _loss_fn(params, model_cfg: FlowModelConfig, weights, batch, mode, snippet_frames):
+    # uint8 batches (datasets' emit_uint8 fast path) are cast to [0, 1] f32
+    # ON DEVICE: the host ships 4x fewer bytes and XLA fuses the cast into
+    # the first consumer.  Bit-identical to a host-side /255 — the sources
+    # are 8-bit PNGs.
+    batch = tuple(
+        x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+        for x in batch
+    )
     if mode == "flowposenet":
         fwd = forward_flowpose_pair if snippet_frames == 2 else forward_flowpose
     else:
