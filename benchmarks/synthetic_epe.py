@@ -27,21 +27,28 @@ import time
 import numpy as np
 
 
-def _texture(rng, h, w, octaves):
+def _texture(rng, h, w, octaves, power=0.5):
     """Multi-octave (1/f-like) texture — structure at EVERY pyramid scale.
 
     Plain smoothed white noise averages to flat gray at the coarse pyramid
     levels (/4 ... /64), which deletes the coarse-to-fine photometric signal
     PWC-style training bootstraps from; natural images are ~1/f.  Summing
-    nearest-neighbor-upsampled noise octaves (power growing with scale)
-    gives informative photometric gradients at every decoder level.
+    nearest-neighbor-upsampled noise octaves (amplitude ``s**power``) gives
+    informative photometric gradients at every decoder level.
+
+    ``power`` sets the spectral slope: 0.5 (amplitude ~ sqrt(scale)) is the
+    original benchmark texture; 1.0 (amplitude ~ scale, i.e. 1/f^2 power)
+    matches natural-image statistics — the dominant coarse structure widens
+    the photometric basin, which is what lets real KITTI frames train with
+    tens-of-pixels motions while flat-spectrum noise stalls beyond ~4 px
+    (see benchmarks/synth_epe_r04/README.md, diagnosis matrix).
     """
     t = np.zeros((h, w, 3), np.float32)
     for o in range(octaves):
         s = 2**o
         small = rng.rand(h // s + 2, w // s + 2, 3).astype(np.float32)
         up = np.repeat(np.repeat(small, s, 0), s, 1)[:h, :w]
-        t += (s**0.5) * up
+        t += (s**power) * up
     # light box smooth so block edges do not alias under bilinear warps
     t = (
         t
@@ -54,7 +61,7 @@ def _texture(rng, h, w, octaves):
     return t
 
 
-def make_snippet(rng, h, w, max_bg=4, max_fg=8):
+def make_snippet(rng, h, w, max_bg=4, max_fg=8, tex_power=0.5):
     """One 3-frame snippet (3H, W, 3) + GT center->next flow + occlusion mask.
 
     Background translates by integer (u_b, v_b), a foreground rectangle by
@@ -66,14 +73,14 @@ def make_snippet(rng, h, w, max_bg=4, max_fg=8):
     """
     max_fg = min(max_fg, h // 8, w // 8)  # keep the rect placeable (small frames)
     pad = 2 * max(max_bg, max_fg) + 2
-    big = _texture(rng, h + 2 * pad, w + 2 * pad, octaves=6)
+    big = _texture(rng, h + 2 * pad, w + 2 * pad, octaves=6, power=tex_power)
     u_b, v_b = rng.randint(-max_bg, max_bg + 1, size=2)
     u_f, v_f = rng.randint(-max_fg, max_fg + 1, size=2)
 
     rh = rng.randint(h // 4, h // 2 + 1)
     rw = rng.randint(w // 6, w // 3 + 1)
     # foreground texture at a different octave mix (distinct content)
-    fg_tex = _texture(rng, rh, rw, octaves=4)
+    fg_tex = _texture(rng, rh, rw, octaves=4, power=tex_power)
     # keep the rectangle inside the frame at every time step (k = -1, 0, +1)
     ry = rng.randint(abs(v_f) + 1, h - rh - abs(v_f))
     rx = rng.randint(abs(u_f) + 1, w - rw - abs(u_f))
@@ -181,6 +188,10 @@ def main():
                         "numpy generator otherwise bounds the step rate")
     p.add_argument("--fp32", action="store_true",
                    help="disable the production bf16+Pallas path")
+    p.add_argument("--tex-power", type=float, default=0.5,
+                   help="texture spectral slope: amplitude ~ scale**power; "
+                        "0.5 = original benchmark, 1.0 = natural-image-like "
+                        "1/f^2 power (wider photometric basins)")
     p.add_argument("--no-pallas-corr", action="store_true",
                    help="diagnostic: XLA cost volume instead of the Pallas "
                         "corr kernel")
@@ -253,7 +264,8 @@ def main():
 
     h, w = args.hw
     rng = np.random.RandomState(0)
-    gen_kw = dict(max_bg=args.max_bg, max_fg=args.max_fg)
+    gen_kw = dict(max_bg=args.max_bg, max_fg=args.max_fg,
+                  tex_power=args.tex_power)
     if args.pool:
         import os
 
@@ -328,6 +340,9 @@ def main():
         "iters": args.iters,
         "hw": list(args.hw),
         "precision": prec,
+        "max_bg": args.max_bg,
+        "max_fg": args.max_fg,
+        "tex_power": args.tex_power,
         "occlusion_weights": not args.no_occlusion_weights,
         "platform": jax.devices()[0].platform,
         **evaluate(state.params, args, gen_kw, infer),
