@@ -100,3 +100,26 @@ def test_f2c_variant_matches_nhwc_interpret():
             np.asarray(jnp.transpose(db2c, (0, 2, 3, 1))),
             rtol=1e-6, atol=1e-6,
         )
+
+
+@pytest.mark.parametrize("h", [12, 24, 48])
+def test_pallas_corr_sintel_pyramid_heights(h):
+    """Sintel-recipe feature heights (384 >> {5,4,3} = 12/24/48; config/
+    sintel.yaml img_hw [384, 832]) tile the kernel off the 256-row KITTI
+    tuning point; values must match the XLA composition (interpret mode).
+    The 384>>6 = 6 level is covered by test_small_levels_fall_back_to_xla.
+    """
+    import numpy as np
+
+    from unopticalflow_tpu.ops.cost_volume import cost_volume_xla
+    from unopticalflow_tpu.ops.pallas_kernels import cost_volume_pallas
+
+    rng = np.random.RandomState(h)
+    f1 = jnp.asarray(rng.randn(1, h, 26, 6).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, h, 26, 6).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = cost_volume_pallas(f1, f2, md=4)
+    want = cost_volume_xla(f1, f2, md=4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )

@@ -204,3 +204,28 @@ def test_model_forward_cm_matches_packed(interpret_pack):
             np.asarray(pack_cm[k]), np.asarray(pack_packed[k]),
             rtol=1e-6, atol=0, err_msg=k,
         )
+
+
+def test_forward_sintel_scale_shape(interpret_pack):
+    """Sintel-recipe scale-2 geometry (384>>2=96 rows; the tile-height
+    heuristic picks a taller tile than the 8-row minimum used by the 16-row
+    cases above): kernel == JAX composition off the KITTI tuning point.
+    Width stays small to keep the interpreter fast; tile choice depends only
+    on H and C."""
+    rng = np.random.RandomState(7)
+    h, w = 96, 32
+    img_b = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    img_l = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    img_r = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    flow_b = jnp.asarray(rng.uniform(-5, 5, (1, h, w, 2)).astype(np.float32))
+    flow_f = jnp.asarray(rng.uniform(-5, 5, (1, h, w, 2)).astype(np.float32))
+    four_b = warp_corners(img_l, flow_b)
+    four_f = warp_corners(img_r, flow_f)
+    args = (four_b, four_f, flow_b, flow_f, img_b)
+    got = pp._pp_run_fwd(*args)
+    want = pp.photometric_pack_reference(*args)
+    for k in ("s_dw", "s_w", "s_cl"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )
