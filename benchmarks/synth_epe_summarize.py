@@ -72,8 +72,23 @@ def main():
             ),
         }
 
+    def zero_flow_epe(m):
+        """E|(u,v)| over the integer motion grid [-m, m]^2 — the EPE of a
+        constant-zero prediction.  'Learned' means going UNDER this;
+        part of any initial epe_all drop is just unlearning the random
+        init's constant bias (see synth_epe_r04/README.md Act 2b)."""
+        import numpy as np
+
+        u, v = np.mgrid[-m : m + 1, -m : m + 1]
+        return round(float(np.hypot(u, v).mean()), 3)
+
     summary = {"benchmark": "synthetic occlusion-aware EPE campaign (r04)",
                "runs": runs}
+    for r in runs.values():
+        fin = r.get("final")
+        if fin and "max_bg" in fin:
+            r["zero_flow_epe_bg"] = zero_flow_epe(fin["max_bg"])
+            r["zero_flow_epe_fg"] = zero_flow_epe(fin["max_fg"])
 
     def at(name, key):
         r = runs.get(name, {}).get("last_eval") or {}

@@ -188,6 +188,16 @@ def main():
                         "numpy generator otherwise bounds the step rate")
     p.add_argument("--fp32", action="store_true",
                    help="disable the production bf16+Pallas path")
+    p.add_argument("--no-flip", action="store_true",
+                   help="diagnostic: disable the pool's mirror augmentation")
+    p.add_argument("--quantize-fresh", action="store_true",
+                   help="diagnostic: round fresh-generated batches through "
+                        "uint8 (isolates 8-bit quantization from the fixed-"
+                        "pool effect)")
+    p.add_argument("--pool-dtype", choices=["uint8", "float32"],
+                   default="uint8",
+                   help="pool storage dtype (float32 = no 8-bit "
+                        "quantization; 4x the host RAM)")
     p.add_argument("--tex-power", type=float, default=0.5,
                    help="texture spectral slope: amplitude ~ scale**power; "
                         "0.5 = original benchmark, 1.0 = natural-image-like "
@@ -275,6 +285,10 @@ def main():
         # with the [0,1] cast fused on-device.
         if args.pool_file and os.path.exists(args.pool_file):
             stacked_pool = np.load(args.pool_file, mmap_mode="r")
+            assert stacked_pool.dtype == np.dtype(args.pool_dtype), (
+                f"pool file dtype {stacked_pool.dtype} != --pool-dtype "
+                f"{args.pool_dtype}"
+            )
             assert stacked_pool.shape == (args.pool, 3 * h, w, 3), (
                 f"pool file shape {stacked_pool.shape} != requested "
                 f"({args.pool}, {3 * h}, {w}, 3)"
@@ -284,9 +298,13 @@ def main():
                   flush=True)
         else:
             print(f"pregenerating {args.pool}-snippet pool ...", flush=True)
+            def _store(img):
+                if args.pool_dtype == "uint8":
+                    return np.round(img * 255.0).astype(np.uint8)
+                return img.astype(np.float32)
+
             stacked_pool = np.stack([
-                np.round(make_snippet(rng, h, w, **gen_kw)[0] * 255.0)
-                .astype(np.uint8)
+                _store(make_snippet(rng, h, w, **gen_kw)[0])
                 for _ in range(args.pool)
             ])
             if args.pool_file:
@@ -296,14 +314,18 @@ def main():
         def next_batch():
             idx = rng.randint(0, args.pool, size=args.batch)
             b = stacked_pool[idx]
-            flip = rng.rand(len(idx)) < 0.5  # mirrored motion = new snippet
-            b[flip] = b[flip, :, ::-1]
+            if not args.no_flip:
+                flip = rng.rand(len(idx)) < 0.5  # mirrored motion = new snippet
+                b[flip] = b[flip, :, ::-1]
             return b
 
     else:
 
         def next_batch():
-            return make_batch(rng, args.batch, h, w, **gen_kw)[0]
+            b = make_batch(rng, args.batch, h, w, **gen_kw)[0]
+            if args.quantize_fresh:
+                b = np.round(b * 255.0).astype(np.uint8)
+            return b
 
     infer = jax.jit(lambda p, a, b: inference_flow(p, cfg, a, b))
 
