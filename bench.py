@@ -416,10 +416,11 @@ if __name__ == "__main__":
                    help="on-chip Pallas-vs-XLA fwd+grad closeness check "
                         "instead of the throughput bench")
     p.add_argument("--validate-out", default="benchmarks/PALLAS_VALIDATE.json")
-    p.add_argument("--scan-steps", type=int, default=0,
-                   help="A/B probe: run K train steps per host dispatch "
-                        "(lax.scan) to quantify residual per-step dispatch "
-                        "cost beyond the windowed protocol")
+    p.add_argument("--scan-steps", type=int, default=8,
+                   help="K train steps per host dispatch (lax.scan). "
+                        "Default 8 = the recipe train.py ships "
+                        "(--steps_per_dispatch auto); 0 measures the "
+                        "single-dispatch path (the round<=4 headline).")
     args = p.parse_args()
 
     import jax
@@ -455,10 +456,7 @@ if __name__ == "__main__":
             "vs_baseline": round(value / 35.0, 2),  # PWC-Net 35 fps on Titan X
         }
     else:
-        default_recipe = (
-            tuple(args.hw) == (256, 832) and args.batch == 8
-            and not args.scan_steps
-        )
+        default_recipe = tuple(args.hw) == (256, 832) and args.batch == 8
         metric = (
             "train snippets/sec/chip (KITTI recipe 256x832, batch 8)"
             if default_recipe
@@ -466,10 +464,17 @@ if __name__ == "__main__":
         )
         if args.scan_steps:
             metric += f", {args.scan_steps} steps/dispatch"
+        # vs_baseline is pixel-normalized for non-recipe shapes: the 20
+        # snippets/s reference estimate is AT 256x832, so a 384x832 rate is
+        # compared against 20 * (256*832)/(384*832) — same-work ratio, not
+        # apples-to-oranges (VERDICT r04 item 7)
+        base = REFERENCE_TRAIN_SNIPPETS_PER_SEC * (
+            (256 * 832) / float(args.hw[0] * args.hw[1])
+        )
         out = {
             "metric": metric,
             "value": round(value, 2),
             "unit": "snippets/s",
-            "vs_baseline": round(value / REFERENCE_TRAIN_SNIPPETS_PER_SEC, 2),
+            "vs_baseline": round(value / base, 2),
         }
     print(json.dumps(out))

@@ -126,8 +126,14 @@ def make_batch(rng, batch, h, w, **kw):
     )
 
 
-def evaluate(params, args, gen_kw, infer):
-    """Held-out EPE (fixed fresh seed, so every call scores the SAME set)."""
+def evaluate(params, args, gen_kw, infer, zero_flow=False):
+    """Held-out EPE (fixed fresh seed, so every call scores the SAME set).
+
+    ``zero_flow=True`` scores a constant-zero prediction on the identical
+    set instead — the bar a "learned" run must go UNDER (part of any initial
+    epe_all drop is just unlearning the init's constant bias; see
+    synth_epe_r04/README.md Act 2b).
+    """
     import numpy as np
 
     h, w = args.hw
@@ -137,10 +143,13 @@ def evaluate(params, args, gen_kw, infer):
     while done < args.eval_snippets:
         n = min(args.batch, args.eval_snippets - done)
         stacked, gt, noc = make_batch(erng, n, h, w, **gen_kw)
-        flow = np.asarray(
-            infer(params, stacked[:, h : 2 * h], stacked[:, 2 * h :]),
-            np.float32,
-        )
+        if zero_flow:
+            flow = np.zeros_like(gt)
+        else:
+            flow = np.asarray(
+                infer(params, stacked[:, h : 2 * h], stacked[:, 2 * h :]),
+                np.float32,
+            )
         err = np.linalg.norm(flow - gt, axis=-1)  # (n, h, w)
         fg = np.linalg.norm(gt - gt[:, :1, :1], axis=-1) > 0  # fg-region proxy
         for i in range(n):
@@ -181,6 +190,12 @@ def main():
     p.add_argument("--eval-every", type=int, default=0,
                    help="also run the held-out eval every N iters (learning "
                         "curve; 0 = only at the end)")
+    p.add_argument("--device-gen", action="store_true",
+                   help="generate fresh training batches ON the TPU "
+                        "(benchmarks/synth_device_gen.py) instead of host "
+                        "numpy — same distribution, device speed; the "
+                        "held-out eval set stays host-generated (identical "
+                        "across modes)")
     p.add_argument("--pool", type=int, default=0,
                    help="pregenerate N snippets (float16) and sample batches "
                         "from them with random horizontal flips, instead of "
@@ -188,6 +203,13 @@ def main():
                         "numpy generator otherwise bounds the step rate")
     p.add_argument("--fp32", action="store_true",
                    help="disable the production bf16+Pallas path")
+    p.add_argument("--loss-fp32", action="store_true",
+                   help="mixed precision: bf16 convs/corr, f32 loss stack "
+                        "(pyramids/warps/diffs).  Isolates bf16 IMAGE "
+                        "quantization (8-bit mantissa on [0,1] values ~ "
+                        "uint8) from bf16 compute — the r04 fresh+uint8 "
+                        "probe stalled at the zero-flow bar exactly like "
+                        "the bf16 end-to-end leg")
     p.add_argument("--no-flip", action="store_true",
                    help="diagnostic: disable the pool's mirror augmentation")
     p.add_argument("--quantize-fresh", action="store_true",
@@ -241,13 +263,14 @@ def main():
     from unopticalflow_tpu.utils.platform import on_tpu
 
     prec = "float32" if args.fp32 else "bfloat16"
+    loss_prec = "float32" if (args.fp32 or args.loss_fp32) else "bfloat16"
     cfg = FlowModelConfig(
         num_scales=3,
         compute_dtype=prec,
-        loss_dtype=prec,
+        loss_dtype=loss_prec,
         use_pallas_corr=on_tpu() and not args.no_pallas_corr,
         use_pallas_photo=(
-            (prec == "bfloat16") and on_tpu() and not args.no_pallas_photo
+            (loss_prec == "bfloat16") and on_tpu() and not args.no_pallas_photo
         ),
         use_occlusion_weights=not args.no_occlusion_weights,
     )
@@ -276,7 +299,18 @@ def main():
     rng = np.random.RandomState(0)
     gen_kw = dict(max_bg=args.max_bg, max_fg=args.max_fg,
                   tex_power=args.tex_power)
-    if args.pool:
+    if args.device_gen:
+        from benchmarks.synth_device_gen import make_device_batch
+
+        genkey = {"k": jax.random.PRNGKey(0)}
+
+        def next_batch():
+            genkey["k"], sub = jax.random.split(genkey["k"])
+            return make_device_batch(
+                sub, args.batch, h, w, **gen_kw
+            )[0]
+
+    elif args.pool:
         import os
 
         # uint8 pool: 8-bit quantization matches the real pipeline (prepared
@@ -293,7 +327,9 @@ def main():
                 f"pool file shape {stacked_pool.shape} != requested "
                 f"({args.pool}, {3 * h}, {w}, 3)"
             )
-            stacked_pool = np.asarray(stacked_pool)  # materialize once
+            # np.array (not asarray): asarray on a read-only memmap returns a
+            # VIEW, leaving every fancy-index page-cache bound — force a copy
+            stacked_pool = np.array(stacked_pool)
             print(f"loaded {args.pool}-snippet pool from {args.pool_file}",
                   flush=True)
         else:
@@ -329,6 +365,10 @@ def main():
 
     infer = jax.jit(lambda p, a, b: inference_flow(p, cfg, a, b))
 
+    # the bar every curve is judged against, on the IDENTICAL held-out set
+    zf = evaluate(None, args, gen_kw, None, zero_flow=True)
+    print(json.dumps({"zero_flow": zf}), flush=True)
+
     def save(it):
         if args.save:
             from unopticalflow_tpu.utils.checkpoint import save_checkpoint
@@ -362,12 +402,14 @@ def main():
         "iters": args.iters,
         "hw": list(args.hw),
         "precision": prec,
+        "loss_precision": loss_prec,
         "max_bg": args.max_bg,
         "max_fg": args.max_fg,
         "tex_power": args.tex_power,
         "occlusion_weights": not args.no_occlusion_weights,
         "platform": jax.devices()[0].platform,
         **evaluate(state.params, args, gen_kw, infer),
+        "zero_flow": zf,
         "train_seconds": round(time.time() - t0, 1),
     }
     print(json.dumps(result))

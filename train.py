@@ -74,12 +74,17 @@ def build_arg_parser():
                    choices=["auto", "on", "off"],
                    help="Pallas cost-volume kernels: auto = on for TPU "
                         "platforms, off elsewhere.")
-    p.add_argument("--steps_per_dispatch", type=int, default=1,
+    p.add_argument("--steps_per_dispatch", default="auto",
                    help="K optimizer steps per host dispatch (lax.scan over "
                         "K stacked batches): amortizes the per-step host/"
                         "dispatch gap on tunneled or dispatch-bound hosts. "
                         "Per-step math is identical to K single dispatches; "
-                        "log/save/test intervals must be multiples of K.")
+                        "log/save/test intervals must be multiples of K. "
+                        "'auto' (default) picks the largest K in {8,4,2,1} "
+                        "dividing every interval grid — 8 is the measured "
+                        "throughput optimum (benchmarks/bench_r04/b8_scan8). "
+                        "Interleaved eval at K>1 sees params K-1 steps "
+                        "staler than a K=1 run at the same grid point.")
     p.add_argument("--cache_decoded", action="store_true",
                    help="cache decoded+resized frames as uint8 .npy under the "
                         "prepared dir (feeds the chip faster on few-core hosts).")
@@ -270,7 +275,20 @@ def train(cfg):
                 f"data-parallel mesh over {mesh.devices.size} devices "
                 f"({jax.process_count()} processes)"
             )
-    spd = int(cfg.get("steps_per_dispatch", 1) or 1)
+    spd_cfg = cfg.get("steps_per_dispatch", 1) or 1
+    if isinstance(spd_cfg, str) and spd_cfg.strip().lower() == "auto":
+        # largest K in {8,4,2,1} that divides every interval grid AND the
+        # remaining iteration count (8 = measured throughput optimum,
+        # benchmarks/bench_r04/b8_scan8.json: 123.8 vs 120.5 snippets/s)
+        grids = [
+            int(cfg.log_interval), int(cfg.save_interval),
+            int(cfg.test_interval), int(cfg.num_iterations - cfg.iter_start),
+        ]
+        spd = next(k for k in (8, 4, 2, 1) if all(g % k == 0 for g in grids))
+        if is_main:
+            print(f"steps_per_dispatch auto -> {spd}")
+    else:
+        spd = int(spd_cfg)
     if spd > 1:
         # The scan body is the single-step body, so the K-step program's
         # parameter trajectory is identical to K single dispatches — the grid
@@ -474,7 +492,12 @@ def train(cfg):
             # generalize by testing the dispatch's LAST sub-step.
             iter_ = dispatch_ * spd
             # check BEFORE the (multi-minute) interleaved eval as well as after
-            # the step: a grace window must not be spent evaluating
+            # the step: a grace window must not be spent evaluating.
+            # NOTE (dispatch granularity): eval fires at the TOP of the
+            # dispatch whose last sub-step hits test_interval, so the
+            # evaluated params are spd-1 optimizer steps staler than a K=1
+            # run at the same grid point — account for this when comparing
+            # eval curves across --steps_per_dispatch settings.
             will_eval = (iter_ + spd) % cfg.test_interval == 0 and (not cfg.no_test)
             if _preempt_agreed(iter_ % _PREEMPT_CHECK_EVERY == 0 or will_eval):
                 _preempt_exit()
@@ -518,9 +541,10 @@ def train(cfg):
             iter_ = iter_ + cfg.iter_start
             state, metrics = step_fn(state, _model_inputs(inputs))
             if spd > 1:
-                # metrics come back stacked (spd,); log the LAST sub-step —
-                # the same grid point a K=1 run would print at this iteration
-                metrics = jax.tree.map(lambda x: x[-1], metrics)
+                # metrics come back stacked (spd,); log the FIRST sub-step —
+                # iteration iter_ itself, the same grid point a K=1 run
+                # prints at, so loss curves line up across spd settings
+                metrics = jax.tree.map(lambda x: x[0], metrics)
             if is_main and iter_ % cfg.log_interval == 0:
                 # throughput observability: print_loss fetches the metrics
                 # (a device sync), so timing between log points is free —
