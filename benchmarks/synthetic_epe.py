@@ -175,12 +175,71 @@ def evaluate(params, args, gen_kw, infer, zero_flow=False):
     }
 
 
+def prediction_probe(args, gen_kw, infer, params):
+    """Is the net CONDITIONING on its input, or predicting a bias?
+
+    Regresses per-snippet mean predicted flow against the GT background
+    motion over 64 fresh snippets.  slope ~1: the net tracks per-sample
+    motion; slope ~0: it ignores the images and the EPE plateau is a
+    collapsed (constant) predictor — the two failure modes a flat epe_all
+    curve cannot distinguish.
+    """
+    h, w = args.hw
+    prng = np.random.RandomState(777)
+    preds, gts = [], []
+    done = 0
+    while done < 64:
+        n = min(args.batch, 64 - done)
+        stacked, gt, _ = make_batch(prng, n, h, w, **gen_kw)
+        flow = np.asarray(
+            infer(params, stacked[:, h : 2 * h], stacked[:, 2 * h :]),
+            np.float32,
+        )
+        preds.append(flow.reshape(n, -1, 2).mean(1))
+        gts.append(gt[:, 0, 0])  # corner pixel is always background
+        done += n
+    p = np.concatenate(preds)  # (64, 2) mean predicted flow
+    g = np.concatenate(gts)  # (64, 2) GT bg motion
+    out = {}
+    for i, ax in enumerate("uv"):
+        gc = g[:, i] - g[:, i].mean()
+        slope = float((gc * p[:, i]).sum() / max((gc**2).sum(), 1e-9))
+        out[f"slope_{ax}"] = round(slope, 3)
+    out["pred_mean"] = [round(float(x), 3) for x in p.mean(0)]
+    out["pred_std"] = [round(float(x), 3) for x in p.std(0)]
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=4000)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--hw", type=int, nargs=2, default=(128, 256))  # divisible by 64
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-schedule", choices=["const", "cosine"],
+                   default="const",
+                   help="cosine: decay --lr to --lr-final-frac of itself "
+                        "over --iters.  The unsupervised objective dips "
+                        "under the zero-flow bar early and then drifts back "
+                        "up under a constant lr (see synth_epe_r05/README); "
+                        "annealing freezes the dip into a converged result")
+    p.add_argument("--lr-final-frac", type=float, default=0.05,
+                   help="cosine floor as a fraction of --lr")
+    p.add_argument("--supervised", action="store_true",
+                   help="diagnostic: train on the analytic GT (L1 EPE loss "
+                        "through inference_flow) instead of the unsupervised "
+                        "stack.  Separates 'the architecture cannot condition "
+                        "on its input' from 'the photometric objective does "
+                        "not reward conditioning'.  Under --init torch even "
+                        "this collapses to a constant predictor (pred_probe "
+                        "slope 0.0, r05 s1/s2 logs) — that was the round-4/5 "
+                        "plateau diagnosis: torch-default init makes the net "
+                        "input-blind at init (see models/layers.py)")
+    p.add_argument("--smooth-weight", type=float, default=10.0,
+                   help="loss_flow_smooth weight (KITTI recipe: 10.0). "
+                        "Diagnostic knob: the smoothness term is minimized "
+                        "by exactly the constant-flow collapse the EPE "
+                        "plateau exhibits")
     p.add_argument("--max-bg", type=int, default=4,
                    help="max |background translation| in px")
     p.add_argument("--max-fg", type=int, default=8,
@@ -244,6 +303,12 @@ def main():
                         "at the end (long runs become resumable)")
     p.add_argument("--load", default="",
                    help="checkpoint path to resume params+opt_state from")
+    p.add_argument("--init", choices=["torch", "pwc"], default="pwc",
+                   help="param init scheme.  'torch' (the reference default) "
+                        "is input-blind at init (models/layers.py): every "
+                        "r04/r05 leg under it — supervised included — "
+                        "plateaued at the constant-predictor optimum.  "
+                        "'pwc' is the official PWC-Net kaiming_normal init.")
     args = p.parse_args()
 
     import jax
@@ -277,12 +342,25 @@ def main():
     weights = {  # the KITTI recipe table (config/kitti.yaml)
         "loss_pixel": 0.15,
         "loss_ssim": 0.85,
-        "loss_flow_smooth": 10.0,
+        "loss_flow_smooth": args.smooth_weight,
         "loss_flow_consis": 0.01,
     }
-    params = init_flow_model(jax.random.PRNGKey(0))
-    state = create_train_state(params, lr=args.lr)
-    step = make_train_step(cfg, weights, lr=args.lr)
+    if args.lr_schedule == "cosine":
+        import optax
+
+        # optax.adam accepts a schedule wherever a scalar lr is accepted
+        # (training/train_step.py::make_optimizer passes it through), so the
+        # harness builds the schedule and the package stays unchanged.
+        lr = optax.cosine_decay_schedule(
+            init_value=args.lr,
+            decay_steps=args.iters,
+            alpha=args.lr_final_frac,
+        )
+    else:
+        lr = args.lr
+    params = init_flow_model(jax.random.PRNGKey(0), scheme=args.init)
+    state = create_train_state(params, lr=lr)
+    step = make_train_step(cfg, weights, lr=lr)
     it0 = 0
     if args.load:
         from unopticalflow_tpu.utils.checkpoint import restore_checkpoint
@@ -365,6 +443,32 @@ def main():
 
     infer = jax.jit(lambda p, a, b: inference_flow(p, cfg, a, b))
 
+    sup_step = None
+    if args.supervised:
+        import optax
+
+        sup_opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+        def _sup_loss(params, im1, im2, gt):
+            flow = inference_flow(params, cfg, im1, im2)
+            return jnp.mean(jnp.abs(flow - gt))
+
+        @jax.jit
+        def sup_step(state, stacked, gt):
+            im1 = stacked[:, h : 2 * h]
+            im2 = stacked[:, 2 * h :]
+            loss, grads = jax.value_and_grad(_sup_loss)(
+                state.params, im1, im2, gt
+            )
+            updates, opt_state = sup_opt.update(
+                grads, state.opt_state, state.params
+            )
+            params2 = optax.apply_updates(state.params, updates)
+            z = jnp.zeros_like(loss)
+            return type(state)(state.step + 1, params2, opt_state), {
+                "loss_total": loss, "loss_pixel": z, "loss_ssim": z,
+            }
+
     # the bar every curve is judged against, on the IDENTICAL held-out set
     zf = evaluate(None, args, gen_kw, None, zero_flow=True)
     print(json.dumps({"zero_flow": zf}), flush=True)
@@ -382,7 +486,11 @@ def main():
 
     t0 = time.time()
     for it in range(it0, args.iters):
-        state, m = step(state, put(next_batch()))
+        if sup_step is not None:
+            sb, sgt, _ = make_batch(rng, args.batch, h, w, **gen_kw)
+            state, m = sup_step(state, jnp.asarray(sb), jnp.asarray(sgt))
+        else:
+            state, m = step(state, put(next_batch()))
         if it % 250 == 0 or it == args.iters - 1:
             print(
                 f"iter {it}: total {float(m['loss_total']):.4f} "
@@ -403,6 +511,13 @@ def main():
         "hw": list(args.hw),
         "precision": prec,
         "loss_precision": loss_prec,
+        "lr": args.lr,
+        "lr_schedule": args.lr_schedule,
+        "init": args.init,
+        "smooth_weight": args.smooth_weight,
+        "supervised": args.supervised,
+        "batch": args.batch,
+        "eval_snippets": args.eval_snippets,
         "max_bg": args.max_bg,
         "max_fg": args.max_fg,
         "tex_power": args.tex_power,
@@ -410,6 +525,7 @@ def main():
         "platform": jax.devices()[0].platform,
         **evaluate(state.params, args, gen_kw, infer),
         "zero_flow": zf,
+        "pred_probe": prediction_probe(args, gen_kw, infer, state.params),
         "train_seconds": round(time.time() - t0, 1),
     }
     print(json.dumps(result))

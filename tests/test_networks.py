@@ -180,3 +180,31 @@ def test_bf16_loss_stack_close_to_fp32(params):
         got = float(b[k][0])
         # bf16 image-space math with fp32 accumulators: few-percent agreement
         assert abs(got - ref) <= 0.03 * abs(ref) + 1e-4, (k, ref, got)
+
+
+def test_pwc_init_restores_input_sensitivity():
+    """torch-default init is input-blind at init; pwc init is not.
+
+    The reference trains from torch-default Conv2d init (its kaiming blocks
+    are commented out, reference feature_pyramid.py:22-28 / pwc_tf.py:83-89).
+    Under that init the input-dependent feature signal decays ~0.41x per conv
+    while biases re-inject O(1e-2) constants, so after the 12-conv pyramid the
+    decoder output is input-independent to ~4e-6 px and from-scratch training
+    plateaus at the constant-predictor optimum (measured: every
+    benchmarks/synth_epe_r0{4,5} leg, supervised probes included).
+    init_flow_model(scheme="pwc") — the official PWC-Net kaiming_normal init —
+    keeps the signal alive.  This test pins both facts.
+    """
+    h, w, pad = 64, 128, 8
+    big = RNG.rand(h + 2 * pad, w + 2 * pad, 3).astype(np.float32)
+    crop = lambda dx: jnp.asarray(big[pad : pad + h, pad + dx : pad + dx + w][None])
+    im_c, im_p, im_m = crop(0), crop(3), crop(-3)
+
+    sens = {}
+    for scheme in ("torch", "pwc"):
+        p = init_flow_model(jax.random.PRNGKey(0), scheme=scheme)
+        f_p = inference_flow(p, CFG, im_c, im_p)
+        f_m = inference_flow(p, CFG, im_c, im_m)
+        sens[scheme] = float(jnp.max(jnp.abs(f_p - f_m)))
+    assert sens["torch"] < 1e-3, sens  # the documented pathology
+    assert sens["pwc"] > 1e-2, sens    # the fix: real input sensitivity

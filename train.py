@@ -91,6 +91,13 @@ def build_arg_parser():
     p.add_argument("--freeze_flow", action="store_true",
                    help="flowposenet: freeze the flow branch and train only "
                         "the PoseNet (the reference's stage-2 behavior).")
+    p.add_argument("--init_scheme", type=str, default="torch",
+                   choices=["torch", "pwc"],
+                   help="param init: 'torch' = reference torch-default "
+                        "(checkpoint/trajectory parity, but input-blind at "
+                        "init — see models/layers.py); 'pwc' = official "
+                        "PWC-Net kaiming_normal, required for from-scratch "
+                        "training at short horizons.")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -144,7 +151,13 @@ def train(cfg):
         quantize_loss_warps=bool(cfg.get("quantize_loss_warps", False)),
     )
     init_fn = get_model(cfg.mode)
-    params = init_fn(jax.random.PRNGKey(cfg.get("seed", 0)))
+    # init_scheme: "torch" (reference-default; input-blind at init — see
+    # models/layers.py) or "pwc" (official PWC-Net kaiming_normal; required
+    # for from-scratch training at short horizons).
+    params = init_fn(
+        jax.random.PRNGKey(cfg.get("seed", 0)),
+        scheme=cfg.get("init_scheme", "torch"),
+    )
     freeze_flow = bool(cfg.get("freeze_flow")) and cfg.mode == "flowposenet"
     state = create_train_state(params, lr=cfg.lr, freeze_flow=freeze_flow)
 

@@ -41,10 +41,10 @@ _LAYERS = (
 FEATURE_CHANNELS = (16, 32, 64, 96, 128, 196)
 
 
-def init_feature_pyramid(key, dtype=jax.numpy.float32):
+def init_feature_pyramid(key, dtype=jax.numpy.float32, scheme: str = "torch"):
     keys = jax.random.split(key, len(_LAYERS))
     return {
-        f"conv{i + 1}": conv_init(k, cin, cout, 3, dtype)
+        f"conv{i + 1}": conv_init(k, cin, cout, 3, dtype, scheme=scheme)
         for i, ((cin, cout, _), k) in enumerate(zip(_LAYERS, keys))
     }
 

@@ -95,12 +95,19 @@ class FlowModelConfig(NamedTuple):
         return jnp.dtype(self.loss_dtype)
 
 
-def init_flow_model(key, dtype=jnp.float32):
-    """Initialize the full parameter tree {fpyramid, pwc}."""
+def init_flow_model(key, dtype=jnp.float32, scheme: str = "torch"):
+    """Initialize the full parameter tree {fpyramid, pwc}.
+
+    scheme="torch" (default) is the reference's torch-default init;
+    scheme="pwc" is the official PWC-Net kaiming_normal init — required for
+    from-scratch training at short horizons (see models/layers.py docstring:
+    torch-default init makes the net input-blind at init, 4e-6 px output
+    sensitivity, and no probe — supervised or unsupervised — escaped it).
+    """
     k1, k2 = jax.random.split(key)
     return {
-        "fpyramid": init_feature_pyramid(k1, dtype),
-        "pwc": init_pwc_decoder(k2, dtype),
+        "fpyramid": init_feature_pyramid(k1, dtype, scheme=scheme),
+        "pwc": init_pwc_decoder(k2, dtype, scheme=scheme),
     }
 
 

@@ -34,9 +34,12 @@ from unopticalflow_tpu.ops.geometry import (
 )
 
 
-def init_flowpose_model(key, dtype=jnp.float32):
+def init_flowpose_model(key, dtype=jnp.float32, scheme: str = "torch"):
     k1, k2 = jax.random.split(key)
-    return {"flow": init_flow_model(k1, dtype), "pose": init_pose_net(k2, dtype)}
+    return {
+        "flow": init_flow_model(k1, dtype, scheme=scheme),
+        "pose": init_pose_net(k2, dtype, scheme=scheme),
+    }
 
 
 def epipolar_loss(flow, weight, pose, intrinsics, intrinsics_inv):

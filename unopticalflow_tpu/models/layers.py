@@ -5,10 +5,26 @@ whole model is a pure function ``f(params, x)`` that jit/grad/shard_map
 compose over.  Weight layout is HWIO (TPU-native); the torch-checkpoint
 converter transposes from OIHW (see utils/torch_convert.py).
 
-Initialization matches torch.nn.Conv2d defaults (kaiming_uniform(a=sqrt(5))
-for weights, uniform(+-1/sqrt(fan_in)) for bias — both reduce to
-uniform(+-1/sqrt(fan_in))), which is what the reference trains from
-(net_utils.py:7-14 builds plain Conv2d blocks with default init).
+Initialization (scheme="torch", the default) matches torch.nn.Conv2d
+defaults (kaiming_uniform(a=sqrt(5)) for weights, uniform(+-1/sqrt(fan_in))
+for bias — both reduce to uniform(+-1/sqrt(fan_in))), which is what the
+reference trains from (net_utils.py:7-14 builds plain Conv2d blocks with
+default init; the kaiming override blocks at feature_pyramid.py:22-28 and
+pwc_tf.py:83-89 are commented out).
+
+scheme="pwc" is the official PWC-Net initialization (kaiming_normal,
+mode=fan_in, with the LeakyReLU(0.1) gain; zero bias).  Measured at init on
+this network, torch-default init collapses the *input-dependent* feature
+signal by ~0.41x per conv while biases re-inject O(1e-2) constants every
+layer: after the 12-conv pyramid the signal std is 1.9e-7 vs a 8.7e-3 bias
+floor, the cost volume (quadratic in features) carries ~1e-10 of signal, and
+the decoder output is input-independent to 4e-6 px — the net is born blind
+and Adam at lr 1e-4 cannot escape at <=12k-iter horizons (every synth-EPE leg in
+benchmarks/synth_epe_r0{4,5} plateaued at the constant-predictor optimum,
+*including supervised L1 probes*).  kaiming_normal keeps the signal std at
+1.3e-2 at the coarsest level and the same probes learn.  Use "pwc" for
+from-scratch training; "torch" is kept as the default for bit-parity with
+reference checkpoints and trajectories.
 """
 
 from __future__ import annotations
@@ -21,10 +37,20 @@ import jax.numpy as jnp
 LEAKY_SLOPE = 0.1  # nn.LeakyReLU(0.1), net_utils.py:11 / pwc_tf.py:21
 
 
-def conv_init(key, in_ch: int, out_ch: int, ksize: int = 3, dtype=jnp.float32):
-    """Initialize one conv's {w: HWIO, b} with torch-default distribution."""
+def conv_init(
+    key, in_ch: int, out_ch: int, ksize: int = 3, dtype=jnp.float32,
+    scheme: str = "torch",
+):
+    """Initialize one conv's {w: HWIO, b}; scheme in {"torch", "pwc"}."""
     kw, kb = jax.random.split(key)
     fan_in = in_ch * ksize * ksize
+    if scheme == "pwc":
+        # kaiming_normal(mode=fan_in) with the LeakyReLU(0.1) gain; zero bias.
+        std = math.sqrt(2.0 / (1.0 + LEAKY_SLOPE**2)) / math.sqrt(fan_in)
+        w = std * jax.random.normal(kw, (ksize, ksize, in_ch, out_ch), dtype)
+        return {"w": w, "b": jnp.zeros((out_ch,), dtype)}
+    if scheme != "torch":
+        raise ValueError(f"unknown init scheme {scheme!r} (torch|pwc)")
     bound = 1.0 / math.sqrt(fan_in)
     w = jax.random.uniform(
         kw, (ksize, ksize, in_ch, out_ch), dtype, minval=-bound, maxval=bound

@@ -35,13 +35,13 @@ _LAYERS = (
 POSE_SCALE = 0.01
 
 
-def init_pose_net(key, dtype=jnp.float32):
+def init_pose_net(key, dtype=jnp.float32, scheme: str = "torch"):
     keys = jax.random.split(key, len(_LAYERS) + 1)
     params = {
-        f"conv{i + 1}": conv_init(k, cin, cout, 3, dtype)
+        f"conv{i + 1}": conv_init(k, cin, cout, 3, dtype, scheme=scheme)
         for i, ((cin, cout, _), k) in enumerate(zip(_LAYERS, keys))
     }
-    params["pose_pred"] = conv_init(keys[-1], _LAYERS[-1][1], 6, 1, dtype)
+    params["pose_pred"] = conv_init(keys[-1], _LAYERS[-1][1], 6, 1, dtype, scheme=scheme)
     return params
 
 

@@ -60,18 +60,18 @@ def _estimator_widths(in_ch: int):
     return pairs, head
 
 
-def init_pwc_decoder(key, dtype=jnp.float32):
+def init_pwc_decoder(key, dtype=jnp.float32, scheme: str = "torch"):
     params = {}
     n_keys = len(_LEVELS) * 6 + len(_CONTEXT) + 1
     keys = iter(jax.random.split(key, n_keys))
     for lvl, _, extra in _LEVELS:
         pairs, head = _estimator_widths(_ND + extra)
         for i, (cin, cout) in enumerate(pairs):
-            params[f"conv{lvl}_{i}"] = conv_init(next(keys), cin, cout, 3, dtype)
-        params[f"predict_flow{lvl}"] = conv_init(next(keys), head[0], head[1], 3, dtype)
+            params[f"conv{lvl}_{i}"] = conv_init(next(keys), cin, cout, 3, dtype, scheme=scheme)
+        params[f"predict_flow{lvl}"] = conv_init(next(keys), head[0], head[1], 3, dtype, scheme=scheme)
     for i, (cin, cout, _) in enumerate(_CONTEXT):
-        params[f"dc_conv{i + 1}"] = conv_init(next(keys), cin, cout, 3, dtype)
-    params["dc_conv7"] = conv_init(next(keys), _CONTEXT[-1][1], 2, 3, dtype)
+        params[f"dc_conv{i + 1}"] = conv_init(next(keys), cin, cout, 3, dtype, scheme=scheme)
+    params["dc_conv7"] = conv_init(next(keys), _CONTEXT[-1][1], 2, 3, dtype, scheme=scheme)
     return params
 
 
