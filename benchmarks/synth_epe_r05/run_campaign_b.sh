@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-5 synthetic-EPE campaign B: converged occlusion-aware learning
+# evidence in the LEARNABLE regime established by this round's diagnosis
+# (see models/layers.py + synth_epe_r05/s*.log):
+#   * init=pwc        — torch-default init is input-blind at init; every
+#                       r04/r05 leg under it (supervised included) collapsed
+#                       to the constant predictor.
+#   * 128x256, bg<=8/fg<=16 — motion must be SUPER-pixel at the cost-volume
+#                       levels; the old 64x128/bg<=2 regime is sub-pixel at
+#                       every level and the correlation's integer bins never
+#                       see it (s1/s2 vs s3 supervised discriminators).
+#   * --device-gen    — fresh data every step at device speed (the r04 fixed
+#                       pool capped learning per its own p10 probes); the
+#                       held-out eval set stays host-generated and identical
+#                       across all legs.
+# Legs: a=masked bf16, b=f32 twin, c=occlusion-weights-OFF ablation.
+# Judged on: epe_all/epe_bg under the zero-flow bar for a/b; c clearly worse
+# on epe_occluded (the paper's mechanism, reference
+# core/networks/model_flow_paper.py:101-134); bf16 ~= f32.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
+OUT=benchmarks/synth_epe_r05
+mkdir -p /tmp/synth_r05
+COMMON="--iters 12000 --batch 4 --hw 128 256 --max-bg 8 --max-fg 16 \
+  --tex-power 1.0 --device-gen --eval-every 500 --eval-snippets 64"
+
+python benchmarks/synthetic_epe.py $COMMON \
+  --save /tmp/synth_r05/b_a_bf16.ckpt > $OUT/b_a_bf16.log 2>&1
+echo "b_a rc=$?"
+python benchmarks/synthetic_epe.py $COMMON --fp32 \
+  --save /tmp/synth_r05/b_b_f32.ckpt > $OUT/b_b_f32.log 2>&1
+echo "b_b rc=$?"
+python benchmarks/synthetic_epe.py $COMMON --no-occlusion-weights \
+  --save /tmp/synth_r05/b_c_nomask.ckpt > $OUT/b_c_nomask.log 2>&1
+echo "b_c rc=$?"
+echo CAMPAIGN_B_DONE
