@@ -240,6 +240,13 @@ def main():
                         "Diagnostic knob: the smoothness term is minimized "
                         "by exactly the constant-flow collapse the EPE "
                         "plateau exhibits")
+    p.add_argument("--w-pixel", type=float, default=0.15,
+                   help="loss_pixel weight (KITTI recipe: 0.15)")
+    p.add_argument("--w-ssim", type=float, default=0.85,
+                   help="loss_ssim weight (KITTI recipe: 0.85).  Diagnostic "
+                        "knob: SSIM's 3x3-pooled statistics can dominate the "
+                        "photometric gradient on synthetic low-contrast "
+                        "texture; --w-ssim 0 isolates the L1 term")
     p.add_argument("--max-bg", type=int, default=4,
                    help="max |background translation| in px")
     p.add_argument("--max-fg", type=int, default=8,
@@ -340,8 +347,8 @@ def main():
         use_occlusion_weights=not args.no_occlusion_weights,
     )
     weights = {  # the KITTI recipe table (config/kitti.yaml)
-        "loss_pixel": 0.15,
-        "loss_ssim": 0.85,
+        "loss_pixel": args.w_pixel,
+        "loss_ssim": args.w_ssim,
         "loss_flow_smooth": args.smooth_weight,
         "loss_flow_consis": 0.01,
     }
@@ -515,6 +522,8 @@ def main():
         "lr_schedule": args.lr_schedule,
         "init": args.init,
         "smooth_weight": args.smooth_weight,
+        "w_pixel": args.w_pixel,
+        "w_ssim": args.w_ssim,
         "supervised": args.supervised,
         "batch": args.batch,
         "eval_snippets": args.eval_snippets,
