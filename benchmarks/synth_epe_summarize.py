@@ -40,6 +40,8 @@ def parse_log(path: str):
                     evals.append(d)
                 elif "benchmark" in d:
                     final = d
+                elif "zero_flow" in d and len(d) == 1:
+                    evals.append({"zero_flow_line": d["zero_flow"]})
             else:
                 m = loss_re.match(line)
                 if m:
@@ -55,13 +57,18 @@ def main():
     p.add_argument("--run", action="append", required=True,
                    help="name=logpath (repeatable)")
     p.add_argument("--out-dir", default="benchmarks/synth_epe_r04")
+    p.add_argument("--name", default="SYNTH_EPE_r04",
+                   help="output JSON basename (e.g. SYNTH_EPE_r05)")
     args = p.parse_args()
 
     runs = {}
     for spec in args.run:
         name, path = spec.split("=", 1)
         evals, losses, final = parse_log(path)
+        zf = next((d["zero_flow_line"] for d in evals if "zero_flow_line" in d), None)
+        evals = [d for d in evals if "zero_flow_line" not in d]
         runs[name] = {
+            "zero_flow_measured": zf or (final or {}).get("zero_flow"),
             "log": os.path.relpath(path),
             "eval_points": evals,
             "final": final,
@@ -82,7 +89,7 @@ def main():
         u, v = np.mgrid[-m : m + 1, -m : m + 1]
         return round(float(np.hypot(u, v).mean()), 3)
 
-    summary = {"benchmark": "synthetic occlusion-aware EPE campaign (r04)",
+    summary = {"benchmark": f"synthetic occlusion-aware EPE campaign ({args.name})",
                "runs": runs}
     for r in runs.values():
         fin = r.get("final")
@@ -119,7 +126,7 @@ def main():
         }
 
     os.makedirs(args.out_dir, exist_ok=True)
-    out_json = os.path.join(args.out_dir, "SYNTH_EPE_r04.json")
+    out_json = os.path.join(args.out_dir, args.name + ".json")
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=1)
     print("wrote", out_json)
