@@ -9,10 +9,12 @@
 #                       levels; the old 64x128/bg<=2 regime is sub-pixel at
 #                       every level and the correlation's integer bins never
 #                       see it (s1/s2 vs s3 supervised discriminators).
-#   * --device-gen    — fresh data every step at device speed (the r04 fixed
-#                       pool capped learning per its own p10 probes); the
-#                       held-out eval set stays host-generated and identical
-#                       across all legs.
+#   * fresh HOST generator — fresh data every step (the r04 fixed pool
+#                       capped learning per its own p10 probes).  Not
+#                       --device-gen: at 128x256 the host generator already
+#                       sustains the step rate (u1 0.59 s/it host vs u2 0.50
+#                       device) and the device-gen f32 graph costs ~30+ min
+#                       of axon compile per leg.
 # Legs: a=masked bf16, b=f32 twin, c=occlusion-weights-OFF ablation.
 # Judged on: epe_all/epe_bg under the zero-flow bar for a/b; c clearly worse
 # on epe_occluded (the paper's mechanism, reference
@@ -26,7 +28,7 @@ mkdir -p /tmp/synth_r05
 # to real-image edge stats; on weak-edge synthetic texture weight 10 makes
 # the constant predictor the optimizer's basin (u1-vs-u2 A/B, README).
 COMMON="--iters 6000 --batch 4 --hw 128 256 --max-bg 8 --max-fg 16 \
-  --tex-power 1.0 --smooth-weight 1 --device-gen --eval-every 500 --eval-snippets 64"
+  --tex-power 1.0 --smooth-weight 1 --eval-every 500 --eval-snippets 64"
 
 python benchmarks/synthetic_epe.py $COMMON \
   --save /tmp/synth_r05/b_a_bf16.ckpt > $OUT/b_a_bf16.log 2>&1
