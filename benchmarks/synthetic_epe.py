@@ -253,6 +253,14 @@ def main():
                    help="max |foreground translation| in px (0 = global "
                         "translation only, no occlusion: diagnostic mode)")
     p.add_argument("--eval-snippets", type=int, default=32)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="K optimizer steps per host dispatch via "
+                        "make_multi_train_step's lax.scan (identical "
+                        "parameter trajectory to K=1; see "
+                        "training/train_step.py).  On the tunneled axon "
+                        "runtime each dispatch pays a ~0.4 s host round "
+                        "trip, so K=10 turns a 0.5 s/it campaign leg into "
+                        "~0.1 s/it.  --eval-every must be divisible by K.")
     p.add_argument("--eval-every", type=int, default=0,
                    help="also run the held-out eval every N iters (learning "
                         "curve; 0 = only at the end)")
@@ -331,7 +339,11 @@ def main():
         inference_flow,
         init_flow_model,
     )
-    from unopticalflow_tpu.training import create_train_state, make_train_step
+    from unopticalflow_tpu.training import (
+        create_train_state,
+        make_multi_train_step,
+        make_train_step,
+    )
     from unopticalflow_tpu.utils.platform import on_tpu
 
     prec = "float32" if args.fp32 else "bfloat16"
@@ -367,7 +379,19 @@ def main():
         lr = args.lr
     params = init_flow_model(jax.random.PRNGKey(0), scheme=args.init)
     state = create_train_state(params, lr=lr)
-    step = make_train_step(cfg, weights, lr=lr)
+    K = args.steps_per_dispatch
+    if K < 1:
+        raise SystemExit("--steps-per-dispatch must be >= 1")
+    if K > 1:
+        if args.supervised:
+            raise SystemExit("--steps-per-dispatch>1 not supported with "
+                             "--supervised (diagnostic path stays K=1)")
+        if args.eval_every and args.eval_every % K:
+            raise SystemExit("--eval-every must be divisible by "
+                             "--steps-per-dispatch")
+        step = make_multi_train_step(cfg, weights, K, lr=lr)
+    else:
+        step = make_train_step(cfg, weights, lr=lr)
     it0 = 0
     if args.load:
         from unopticalflow_tpu.utils.checkpoint import restore_checkpoint
@@ -492,24 +516,38 @@ def main():
         return u8cast(jnp.asarray(b)) if b.dtype == np.uint8 else jnp.asarray(b)
 
     t0 = time.time()
-    for it in range(it0, args.iters):
+    it = it0
+    while it < args.iters:
         if sup_step is not None:
             sb, sgt, _ = make_batch(rng, args.batch, h, w, **gen_kw)
             state, m = sup_step(state, jnp.asarray(sb), jnp.asarray(sgt))
+            last_it = it
+        elif K > 1:
+            # one dispatch covers iterations [it, it+K-1]; metrics come back
+            # stacked (K,), so the printed line is labeled with the TRUE
+            # iteration of the sub-step it reports (the last one)
+            kb = np.stack([next_batch() for _ in range(K)])
+            state, m = step(state, put(kb))
+            last_it = it + K - 1
         else:
             state, m = step(state, put(next_batch()))
-        if it % 250 == 0 or it == args.iters - 1:
+            last_it = it
+        if it % 250 < max(1, K if sup_step is None else 1) or last_it >= args.iters - 1:
+            def _scalar(v):
+                v = np.asarray(v)
+                return float(v.reshape(-1)[-1])
             print(
-                f"iter {it}: total {float(m['loss_total']):.4f} "
-                f"pixel {float(m['loss_pixel']):.4f} "
-                f"ssim {float(m['loss_ssim']):.4f} ({time.time() - t0:.0f}s)",
+                f"iter {last_it}: total {_scalar(m['loss_total']):.4f} "
+                f"pixel {_scalar(m['loss_pixel']):.4f} "
+                f"ssim {_scalar(m['loss_ssim']):.4f} ({time.time() - t0:.0f}s)",
                 flush=True,
             )
         if args.eval_every and it % args.eval_every == 0:
-            # includes iter 0: the untrained-EPE point anchors the curve
+            # includes iter 0: the near-init EPE point anchors the curve
             mid = evaluate(state.params, args, gen_kw, infer)
             print(json.dumps({"iter": it, **mid}), flush=True)
             save(it)
+        it = last_it + 1 if sup_step is not None or K == 1 else it + K
     save(args.iters)
 
     result = {
