@@ -26,6 +26,13 @@ import time
 
 import numpy as np
 
+try:  # fast upsample/smooth path; falls back to pure numpy
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+_SMOOTH_K = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], np.float32) / 5.0
+
 
 def _texture(rng, h, w, octaves, power=0.5):
     """Multi-octave (1/f-like) texture — structure at EVERY pyramid scale.
@@ -46,15 +53,34 @@ def _texture(rng, h, w, octaves, power=0.5):
     t = np.zeros((h, w, 3), np.float32)
     for o in range(octaves):
         s = 2**o
+        # NB the rng draw stream is the distribution's identity: the fast
+        # cv2 path below must consume draws in exactly this order/shape so
+        # every leg (and the seeded held-out eval sets) sees the same data
         small = rng.rand(h // s + 2, w // s + 2, 3).astype(np.float32)
-        up = np.repeat(np.repeat(small, s, 0), s, 1)[:h, :w]
+        if s == 1:
+            up = small[:h, :w]
+        elif cv2 is not None:
+            # INTER_NEAREST at an exact integer factor is bit-equal to
+            # np.repeat (dst j -> src j//s); ~10x faster on the 1-core host
+            up = cv2.resize(
+                small, ((w // s + 2) * s, (h // s + 2) * s),
+                interpolation=cv2.INTER_NEAREST,
+            )[:h, :w]
+        else:
+            up = np.repeat(np.repeat(small, s, 0), s, 1)[:h, :w]
         t += (s**power) * up
     # light box smooth so block edges do not alias under bilinear warps
-    t = (
-        t
-        + np.roll(t, 1, 0) + np.roll(t, -1, 0)
-        + np.roll(t, 1, 1) + np.roll(t, -1, 1)
-    ) / 5.0
+    # (cross kernel with wrap boundary — identical to the roll formulation
+    # up to float summation order)
+    if cv2 is not None:
+        p = np.pad(t, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+        t = cv2.filter2D(p, -1, _SMOOTH_K)[1:-1, 1:-1]
+    else:
+        t = (
+            t
+            + np.roll(t, 1, 0) + np.roll(t, -1, 0)
+            + np.roll(t, 1, 1) + np.roll(t, -1, 1)
+        ) / 5.0
     # renormalize contrast so photometric gradients stay informative
     t -= t.min()
     t /= max(t.max(), 1e-6)
