@@ -29,11 +29,17 @@ mkdir -p /tmp/synth_r05
 # the constant predictor the optimizer's basin (u1-vs-u2 A/B, README).
 # cosine: the unsupervised objective dips under the bar and then drifts back
 # up under a constant lr (probeA-vs-B README note); annealing freezes the dip.
-# K=10 steps/dispatch: identical trajectory, ~5x faster on the tunneled
-# runtime (each host dispatch pays a ~0.4 s round trip).
+# K=10 steps/dispatch amortizes the tunneled host round trip.
+# quantize-fresh: the tunnel moves ~10 MB/s, so f32 batches are
+# TRANSFER-bound (measured 0.56 s/it, same as K=1); uint8 cuts the wire
+# bytes 4x AND matches the production pipeline (prepared PNGs are 8-bit,
+# train.py emit_uint8).  Data is still FRESH every step — only the 8-bit
+# rounding of the real pipeline is applied.  Super-pixel motions (bg<=8,
+# fg<=16) are far above the 1/255 quantization floor (the r04 fresh+u8
+# stall was in the old SUB-pixel regime).
 COMMON="--iters 6000 --batch 4 --hw 128 256 --max-bg 8 --max-fg 16 \
   --tex-power 1.0 --smooth-weight 1 --eval-every 500 --eval-snippets 64 \
-  --lr-schedule cosine --steps-per-dispatch 10"
+  --lr-schedule cosine --steps-per-dispatch 10 --quantize-fresh"
 
 python benchmarks/synthetic_epe.py $COMMON \
   --save /tmp/synth_r05/b_a_bf16.ckpt > $OUT/b_a_bf16.log 2>&1

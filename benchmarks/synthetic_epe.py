@@ -320,6 +320,14 @@ def main():
                    default="uint8",
                    help="pool storage dtype (float32 = no 8-bit "
                         "quantization; 4x the host RAM)")
+    p.add_argument("--pool-device", action="store_true",
+                   help="with --pool: upload the pool to device HBM once "
+                        "(chunked) and sample batches + mirror flips + the "
+                        "[0,1] cast ON device.  The tunneled runtime moves "
+                        "~10 MB/s, so per-step host batches are TRANSFER-"
+                        "bound at production shapes (7.6 MB/iter at 256x832 "
+                        "batch 4 uint8); a device-resident pool pays the "
+                        "wire cost once.")
     p.add_argument("--tex-power", type=float, default=0.5,
                    help="texture spectral slope: amplitude ~ scale**power; "
                         "0.5 = original benchmark, 1.0 = natural-image-like "
@@ -448,6 +456,15 @@ def main():
     elif args.pool:
         import os
 
+        if args.pool_device:
+            est = args.pool * 3 * h * w * 3 * (1 if args.pool_dtype == "uint8" else 4)
+            if est > 12e9:
+                raise SystemExit(
+                    f"--pool-device: pool would need {est / 1e9:.1f} GB HBM "
+                    "(>12 GB budget on one v5e) — use --pool-dtype uint8 or "
+                    "a smaller --pool"
+                )
+
         # uint8 pool: 8-bit quantization matches the real pipeline (prepared
         # PNGs are 8-bit), and batches cross the (tunneled) host->device link
         # at 1/4 the f32 bytes — measured 12 vs 53 ms per KITTI-shape batch —
@@ -482,13 +499,48 @@ def main():
                 np.save(args.pool_file, stacked_pool)
                 print(f"saved pool to {args.pool_file}", flush=True)
 
-        def next_batch():
-            idx = rng.randint(0, args.pool, size=args.batch)
-            b = stacked_pool[idx]
-            if not args.no_flip:
-                flip = rng.rand(len(idx)) < 0.5  # mirrored motion = new snippet
-                b[flip] = b[flip, :, ::-1]
-            return b
+        if args.pool_device:
+            # one bulk upload, then batches never cross the tunnel again:
+            # sample + mirror-flip + [0,1] cast run on device
+            t_up = time.time()
+            pool_dev = jax.device_put(stacked_pool)
+            jax.block_until_ready(pool_dev)
+            print(
+                f"uploaded pool to device HBM "
+                f"({stacked_pool.nbytes / 1e9:.2f} GB, "
+                f"{time.time() - t_up:.0f}s)",
+                flush=True,
+            )
+            is_u8 = stacked_pool.dtype == np.uint8
+            del stacked_pool  # eval uses the fresh host generator
+
+            @jax.jit
+            def _sample(key, pool):
+                k1, k2 = jax.random.split(key)
+                idx = jax.random.randint(k1, (args.batch,), 0, args.pool)
+                b = pool[idx].astype(jnp.float32)
+                if is_u8:
+                    b = b / 255.0
+                if not args.no_flip:
+                    flip = jax.random.bernoulli(k2, 0.5, (args.batch,))
+                    b = jnp.where(flip[:, None, None, None], b[:, :, ::-1, :], b)
+                return b
+
+            _dkey = {"k": jax.random.PRNGKey(123)}
+
+            def next_batch():
+                _dkey["k"], sub = jax.random.split(_dkey["k"])
+                return _sample(sub, pool_dev)
+
+        else:
+
+            def next_batch():
+                idx = rng.randint(0, args.pool, size=args.batch)
+                b = stacked_pool[idx]
+                if not args.no_flip:
+                    flip = rng.rand(len(idx)) < 0.5  # mirrored motion = new snippet
+                    b[flip] = b[flip, :, ::-1]
+                return b
 
     else:
 
@@ -539,6 +591,8 @@ def main():
     u8cast = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
 
     def put(b):
+        if isinstance(b, jax.Array):
+            return b  # already device-resident (--pool-device)
         return u8cast(jnp.asarray(b)) if b.dtype == np.uint8 else jnp.asarray(b)
 
     t0 = time.time()
@@ -552,7 +606,11 @@ def main():
             # one dispatch covers iterations [it, it+K-1]; metrics come back
             # stacked (K,), so the printed line is labeled with the TRUE
             # iteration of the sub-step it reports (the last one)
-            kb = np.stack([next_batch() for _ in range(K)])
+            bs = [next_batch() for _ in range(K)]
+            # device-resident batches (--pool-device) stack on device;
+            # np.stack would silently pull them back across the tunnel
+            kb = (jnp.stack(bs) if isinstance(bs[0], jax.Array)
+                  else np.stack(bs))
             state, m = step(state, put(kb))
             last_it = it + K - 1
         else:
