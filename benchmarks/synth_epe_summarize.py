@@ -137,6 +137,7 @@ def main():
     import matplotlib.pyplot as plt
 
     fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    zf_drawn = set()
     for name, r in runs.items():
         ev = r["eval_points"]
         if not ev:
@@ -148,6 +149,12 @@ def main():
             ["EPE (all px)", "EPE (occluded px)", "KITTI outlier rate"],
         ):
             ax.plot(it, [d[key] for d in ev], marker="o", label=name)
+            zf = r.get("zero_flow_measured") or {}
+            if key in zf and id(ax) not in zf_drawn:
+                # the bar every curve must go UNDER to count as "learned"
+                ax.axhline(zf[key], color="k", ls="--", lw=1, alpha=0.6,
+                           label="zero-flow baseline")
+                zf_drawn.add(id(ax))
             ax.set_title(title)
             ax.set_xlabel("iteration")
             ax.grid(True, alpha=0.3)
