@@ -352,6 +352,12 @@ def main():
                         "at the end (long runs become resumable)")
     p.add_argument("--load", default="",
                    help="checkpoint path to resume params+opt_state from")
+    p.add_argument("--load-params-only", action="store_true",
+                   help="with --load: warm-start the PARAMS only (fresh "
+                        "optimizer, iteration counter 0) — the cross-"
+                        "resolution fine-tune mode (params are resolution-"
+                        "independent; the source run's iters/schedule are "
+                        "not)")
     p.add_argument("--init", choices=["torch", "pwc"], default="pwc",
                    help="param init scheme.  'torch' (the reference default) "
                         "is input-blind at init (models/layers.py): every "
@@ -430,13 +436,20 @@ def main():
     if args.load:
         from unopticalflow_tpu.utils.checkpoint import restore_checkpoint
 
-        it0, params, opt_state = restore_checkpoint(
+        ck_it, params, opt_state = restore_checkpoint(
             args.load, state.params, state.opt_state
         )
-        state = state._replace(
-            step=jnp.asarray(it0, jnp.int32), params=params, opt_state=opt_state
-        )
-        print(f"resumed from {args.load} at iter {it0}", flush=True)
+        if args.load_params_only:
+            state = state._replace(params=params)
+            print(f"warm-started params from {args.load} "
+                  f"(source iter {ck_it}; fresh optimizer)", flush=True)
+        else:
+            it0 = ck_it
+            state = state._replace(
+                step=jnp.asarray(it0, jnp.int32), params=params,
+                opt_state=opt_state,
+            )
+            print(f"resumed from {args.load} at iter {it0}", flush=True)
 
     h, w = args.hw
     rng = np.random.RandomState(0)
