@@ -436,14 +436,17 @@ def main():
     if args.load:
         from unopticalflow_tpu.utils.checkpoint import restore_checkpoint
 
-        ck_it, params, opt_state = restore_checkpoint(
-            args.load, state.params, state.opt_state
-        )
         if args.load_params_only:
+            # no opt_state template: the source run's optimizer tree (e.g. a
+            # cosine schedule's count) need not match this run's
+            ck_it, params, _ = restore_checkpoint(args.load, state.params)
             state = state._replace(params=params)
             print(f"warm-started params from {args.load} "
                   f"(source iter {ck_it}; fresh optimizer)", flush=True)
         else:
+            ck_it, params, opt_state = restore_checkpoint(
+                args.load, state.params, state.opt_state
+            )
             it0 = ck_it
             state = state._replace(
                 step=jnp.asarray(it0, jnp.int32), params=params,
