@@ -18,26 +18,25 @@ cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
 OUT=benchmarks/synth_epe_r05
 mkdir -p /tmp/synth_r05
-# 4000-snippet uint8 pool (benchmarks/make_pool.py -> 255-rounded), uploaded
-# ONCE to device HBM (--pool-device, 7.7 GB): at 256x832 the tunneled wire
-# (7.6 MB per batch-4 uint8 iteration) and the 1-core host's generator
-# (0.56 s/batch) would each bound the step rate well below the device.
-# 4000 unique f32-generated snippets + mirror flips = 8000 variants; the
-# 3000-iter scratch leg draws 12k samples (~1.5 visits/variant) — unlike
-# the r04 campaign's 2000-snippet pool this is near-fresh data, and the
-# uint8 rounding matches the production 8-bit PNG pipeline.
-POOL="--pool 4000 --pool-dtype uint8 --pool-file /tmp/p832_pool_u8.npy \
-  --pool-device"
+# 4000-snippet uint8 pool (benchmarks/make_pool.py -> 255-rounded), sampled
+# on the HOST and streamed as uint8: at 256x832 the 1-core host's fresh
+# generator (0.56 s/batch) would bound the step rate, and the f32 wire
+# format is 4x the bytes.  4000 unique f32-generated snippets + mirror
+# flips = 8000 variants; a 1500-iter leg draws 6000 samples (<1
+# visit/variant) — unlike the r04 campaign's 2000-snippet/48k-draw pool
+# this is near-fresh data, and the uint8 rounding matches the production
+# 8-bit PNG pipeline.
+# NEGATIVE RESULT (kept for the record): --pool-device (pool uploaded once
+# to HBM, batches sampled on device) OOMs at this shape — XLA sizes the
+# sampling graph at 21.4 GB for the 7.7 GB uint8 pool argument (a gather-
+# layout copy of the full pool) vs 15.75 GB HBM; see p832_ft_oom.log.
+POOL="--pool 4000 --pool-dtype uint8 --pool-file /tmp/p832_pool_u8.npy"
 COMMON="--batch 4 --hw 256 832 --max-bg 16 --max-fg 32 --tex-power 1.0 \
   --smooth-weight 1 --eval-every 300 --eval-snippets 32 \
   --steps-per-dispatch 10 $POOL"
 
-python benchmarks/synthetic_epe.py $COMMON --iters 1500 --lr 3e-5 \
+python benchmarks/synthetic_epe.py $COMMON --iters 900 --lr 3e-5 \
   --load /tmp/synth_r05/b_a_bf16.ckpt --load-params-only \
   --save /tmp/synth_r05/p832_ft.ckpt > $OUT/p832_ft.log 2>&1
 echo "p832_ft rc=$?"
-python benchmarks/synthetic_epe.py $COMMON --iters 3000 \
-  --lr-schedule cosine \
-  --save /tmp/synth_r05/p832_scratch.ckpt > $OUT/p832_scratch.log 2>&1
-echo "p832_scratch rc=$?"
 echo PRODUCTION_LEGS_DONE
