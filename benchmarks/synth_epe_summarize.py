@@ -97,15 +97,23 @@ def main():
             r["zero_flow_epe_bg"] = zero_flow_epe(fin["max_bg"])
             r["zero_flow_epe_fg"] = zero_flow_epe(fin["max_fg"])
 
+    def last_point(name):
+        """Last eval point of a run, falling back to its final metrics
+        (runs without --eval-every only have the final JSON)."""
+        r = runs.get(name, {})
+        if r.get("last_eval"):
+            return r["last_eval"]
+        fin = r.get("final")
+        return {"iter": fin["iters"], **fin} if fin else None
+
     def at(name, key):
-        r = runs.get(name, {}).get("last_eval") or {}
-        return r.get(key)
+        return (last_point(name) or {}).get(key)
 
     if "main" in runs and "nomask" in runs:
         # compare at the nomask run's last common eval iteration
-        it = runs["nomask"]["last_eval"]["iter"]
+        it = last_point("nomask")["iter"]
         main_at = next((d for d in runs["main"]["eval_points"]
-                        if d["iter"] == it), runs["main"]["last_eval"])
+                        if d["iter"] == it), last_point("main"))
         summary["ablation_occlusion_masks"] = {
             "compared_at_iter": it,
             "epe_all_with_masks": main_at["epe_all"],
@@ -114,11 +122,12 @@ def main():
             "epe_occluded_without_masks": at("nomask", "epe_occluded"),
         }
     if "main" in runs and "fp32" in runs:
-        it = runs["fp32"]["last_eval"]["iter"]
+        it = last_point("fp32")["iter"]
         main_at = next((d for d in runs["main"]["eval_points"]
-                        if d["iter"] == it), runs["main"]["last_eval"])
+                        if d["iter"] == it), last_point("main"))
         summary["bf16_vs_f32"] = {
             "compared_at_iter": it,
+            "f32_run_iters": (runs["fp32"].get("final") or {}).get("iters"),
             "epe_all_bf16": main_at["epe_all"],
             "epe_all_f32": at("fp32", "epe_all"),
             "outlier_bf16": main_at["outlier_rate_kitti"],

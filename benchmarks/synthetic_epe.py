@@ -87,7 +87,7 @@ def _texture(rng, h, w, octaves, power=0.5):
     return t
 
 
-def make_snippet(rng, h, w, max_bg=4, max_fg=8, tex_power=0.5):
+def make_snippet(rng, h, w, max_bg=4, max_fg=8, tex_power=0.5, fg_bias=0.0):
     """One 3-frame snippet (3H, W, 3) + GT center->next flow + occlusion mask.
 
     Background translates by integer (u_b, v_b), a foreground rectangle by
@@ -107,6 +107,15 @@ def make_snippet(rng, h, w, max_bg=4, max_fg=8, tex_power=0.5):
     rw = rng.randint(w // 6, w // 3 + 1)
     # foreground texture at a different octave mix (distinct content)
     fg_tex = _texture(rng, rh, rw, octaves=4, power=tex_power)
+    if fg_bias:
+        # brightness-offset the object so its BOUNDARY is a real intensity
+        # edge.  The base benchmark's fg/bg share intensity statistics, so
+        # the edge-aware smoothness (exp(-10|grad I|), losses.py) never
+        # releases at the object boundary and boundary-driven fill beats
+        # object tracking (see fg_probe.py: the converged model paints the
+        # bg field through the rect).  Real object boundaries ARE intensity
+        # edges — this knob restores that property.
+        fg_tex = fg_bias + (1.0 - fg_bias) * fg_tex
     # keep the rectangle inside the frame at every time step (k = -1, 0, +1)
     ry = rng.randint(abs(v_f) + 1, h - rh - abs(v_f))
     rx = rng.randint(abs(u_f) + 1, w - rw - abs(u_f))
@@ -328,6 +337,13 @@ def main():
                         "bound at production shapes (7.6 MB/iter at 256x832 "
                         "batch 4 uint8); a device-resident pool pays the "
                         "wire cost once.")
+    p.add_argument("--fg-bias", type=float, default=0.0,
+                   help="brightness-offset the foreground object into "
+                        "[bias, 1] so its boundary is a real intensity edge "
+                        "(real object boundaries are; the base benchmark's "
+                        "fg/bg share intensity stats, so the edge-aware "
+                        "smoothness never releases at the boundary and "
+                        "bg-fill beats object tracking — fg_probe.py)")
     p.add_argument("--tex-power", type=float, default=0.5,
                    help="texture spectral slope: amplitude ~ scale**power; "
                         "0.5 = original benchmark, 1.0 = natural-image-like "
@@ -458,6 +474,8 @@ def main():
     rng = np.random.RandomState(0)
     gen_kw = dict(max_bg=args.max_bg, max_fg=args.max_fg,
                   tex_power=args.tex_power)
+    if args.fg_bias:
+        gen_kw["fg_bias"] = args.fg_bias
     if args.device_gen:
         from benchmarks.synth_device_gen import make_device_batch
 
