@@ -109,29 +109,41 @@ def main():
     def at(name, key):
         return (last_point(name) or {}).get(key)
 
+    def main_at_iter(it):
+        return next((d for d in runs["main"]["eval_points"]
+                     if d["iter"] == it), last_point("main"))
+
     if "main" in runs and "nomask" in runs:
-        # compare at the nomask run's last common eval iteration
+        # endpoint comparison at the last common eval iteration ...
         it = last_point("nomask")["iter"]
-        main_at = next((d for d in runs["main"]["eval_points"]
-                        if d["iter"] == it), last_point("main"))
+        main_at = main_at_iter(it)
         summary["ablation_occlusion_masks"] = {
             "compared_at_iter": it,
             "epe_all_with_masks": main_at["epe_all"],
             "epe_all_without_masks": at("nomask", "epe_all"),
             "epe_occluded_with_masks": main_at["epe_occluded"],
             "epe_occluded_without_masks": at("nomask", "epe_occluded"),
+            # ... plus the full shared trajectory: the mask mechanism's main
+            # effect is DURING training (the no-mask run diverges into
+            # photometric hallucination before recovering)
+            "epe_all_trajectory": [
+                {"iter": d["iter"], "with_masks": main_at_iter(d["iter"])["epe_all"],
+                 "without_masks": d["epe_all"]}
+                for d in runs["nomask"]["eval_points"]
+            ],
         }
     if "main" in runs and "fp32" in runs:
-        it = last_point("fp32")["iter"]
-        main_at = next((d for d in runs["main"]["eval_points"]
-                        if d["iter"] == it), last_point("main"))
+        # compare at the f32 run's FINAL point (its held-out eval at its last
+        # iteration — mid-run eval points can pre-date a late basin escape)
+        fin = runs["fp32"].get("final") or last_point("fp32")
+        it = fin.get("iters", fin.get("iter"))
+        main_at = main_at_iter(it)
         summary["bf16_vs_f32"] = {
             "compared_at_iter": it,
-            "f32_run_iters": (runs["fp32"].get("final") or {}).get("iters"),
             "epe_all_bf16": main_at["epe_all"],
-            "epe_all_f32": at("fp32", "epe_all"),
+            "epe_all_f32": fin["epe_all"],
             "outlier_bf16": main_at["outlier_rate_kitti"],
-            "outlier_f32": at("fp32", "outlier_rate_kitti"),
+            "outlier_f32": fin["outlier_rate_kitti"],
         }
 
     os.makedirs(args.out_dir, exist_ok=True)
